@@ -1,38 +1,689 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full near-duplicate pipeline over the
+sf0.001 ``documents`` table mapped to the canonical pages schema.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2, expressed over the driver testdata tables and mirrored in
+DuckDB SQL. Dedup-pipeline stages that are not SQL-expressible (MinHash
+LSH, the full pipeline) are rows-only entries (no oracle).
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the oracle SQL. Float-valued results are either exact
+(integer-valued doubles / rounded) or avoided in favor of integer counts,
+so the driver's order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_DEF_SF = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's documents table onto the canonical pages schema."""
+    return _t(spark, sf_dir, "documents").select(
+        F.format_string("doc://%s/%06d", F.col("source"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+_NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"          # spark SQL
+_NORM_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"  # duckdb
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: dedup pipeline over sf0.001 documents -> cluster assignments."""
+    from sift_kg_spark.config import DedupConfig
+    from sift_kg_spark.pipeline import run_dedup
 
+    pages = _docs_as_pages(spark, _DEF_SF)
+    res = run_dedup(spark, pages, DedupConfig(min_text_chars=10))
+    return res.assignments
+
+
+# ---------------------------------------------------------------------------
+# queries (spark side)
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- scans / filters / exact dedup family (S*, F*, J3, A1) ----------
 
+    def exact_dup_clusters(spark, sf):
+        # J3 analog: groupBy(hash of text) — the Layer-1 exact-dup stage
+        return (
+            _t(spark, sf, "documents")
+            .groupBy(F.md5("text").alias("text_hash"))
+            .agg(
+                F.count("*").alias("cluster_size"),
+                F.min("doc_id").alias("canonical_doc_id"),
+            )
+            .filter(F.col("cluster_size") > 1)
+        )
+
+    q["exact_dup_clusters"] = exact_dup_clusters
+
+    def normalized_fingerprints(spark, sf):
+        # X1/X4 analog + fingerprinting: md5 of whitespace-collapsed lower text
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            F.substring(F.md5(F.expr(_NORM)), 1, 16).alias("fp16"),
+        )
+
+    q["normalized_fingerprints"] = normalized_fingerprints
+
+    def canonical_pick_a1(spark, sf):
+        # A1 canonical rule on 2-token blocks: longest text -> min doc_id
+        d = _t(spark, sf, "documents").withColumn(
+            "block", F.md5(F.expr("array_join(slice(split(trim(text), '\\\\s+'), 1, 2), ' ')"))
+        )
+        w = Window.partitionBy("block")
+        wo = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        return (
+            d.withColumn("canonical_doc_id", F.first("doc_id").over(wo))
+            .withColumn("block_size", F.count("*").over(w))
+            .filter(F.col("block_size") > 1)
+            .select("doc_id", "block", "canonical_doc_id", "block_size")
+        )
+
+    q["canonical_pick_a1"] = canonical_pick_a1
+
+    def quarantine_near_empty(spark, sf):
+        # S6/F1: near-empty detection -> quarantine
+        return (
+            _t(spark, sf, "documents")
+            .filter(F.length(F.trim("text")) < 100)
+            .select("doc_id", "n_chars", F.lit("near_empty").alias("reason"))
+        )
+
+    q["quarantine_near_empty"] = quarantine_near_empty
+
+    def lang_histogram(spark, sf):
+        # A5 frequency counter
+        return (
+            _t(spark, sf, "documents")
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+        )
+
+    q["lang_histogram"] = lang_histogram
+
+    # ---- text analysis (token counting, quality, lang-id) ----------------
+
+    def token_stats(spark, sf):
+        toks = F.split(F.trim("text"), r"\s+")
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        )
+
+    q["token_stats"] = token_stats
+
+    def quality_scores(spark, sf):
+        d = _t(spark, sf, "documents")
+        n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+        n_punct = F.length("text") - F.length(
+            F.regexp_replace("text", r"[.,;:!?]", "")
+        )
+        the_hits = (
+            F.length("text") - F.length(F.regexp_replace("text", " the ", ""))
+        ) / 5
+        return d.select(
+            "doc_id",
+            F.length("text").alias("len_chars"),
+            n_tokens.alias("n_tokens"),
+            n_punct.cast("int").alias("n_punct"),
+            the_hits.cast("int").alias("the_hits"),
+            (n_tokens >= 30).cast("int").alias("is_quality"),
+        )
+
+    q["quality_scores"] = quality_scores
+
+    def lang_id_stopword_votes(spark, sf):
+        d = _t(spark, sf, "documents")
+        padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+
+        def hits(word):
+            pat = f" {word} "
+            return (
+                (F.length(padded) - F.length(F.regexp_replace(padded, pat, "")))
+                / len(pat)
+            ).cast("int")
+
+        v_en = (hits("the") + hits("and")).alias("votes_en")
+        v_es = (hits("el") + hits("de")).alias("votes_es")
+        v_de = (hits("der") + hits("und")).alias("votes_de")
+        out = d.select("doc_id", v_en, v_es, v_de)
+        guess = (
+            F.when(
+                (F.col("votes_en") >= F.col("votes_es"))
+                & (F.col("votes_en") >= F.col("votes_de"))
+                & (F.col("votes_en") > 0),
+                "en",
+            )
+            .when(
+                (F.col("votes_es") >= F.col("votes_de")) & (F.col("votes_es") > 0),
+                "es",
+            )
+            .when(F.col("votes_de") > 0, "de")
+            .otherwise("und")
+        )
+        return out.withColumn("guess", guess)
+
+    q["lang_id_stopword_votes"] = lang_id_stopword_votes
+
+    # ---- n-gram Jaccard near-dup (J4 verify analog, integer-exact) -------
+
+    def ngram_jaccard_pairs(spark, sf):
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.md5(
+                F.expr("array_join(slice(split(trim(text), '\\\\s+'), 1, 2), ' ')")
+            ).alias("block"),
+            F.split(F.trim("text"), r"\s+").alias("toks"),
+        )
+        grams = d.select(
+            "doc_id",
+            "block",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+                        " i -> array_join(slice(toks, i, 3), ' '))"
+                    )
+                )
+            ).alias("gram"),
+        )
+        sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+        a = grams.select(
+            F.col("doc_id").alias("doc_a"), "block", "gram"
+        )
+        b = grams.select(F.col("doc_id").alias("doc_b"), "block", "gram")
+        inter = (
+            a.join(b, ["block", "gram"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        return (
+            inter.join(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("grams_a")),
+                "doc_a",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("grams_b")),
+                "doc_b",
+            )
+            .select("doc_a", "doc_b", "n_inter", "grams_a", "grams_b")
+        )
+
+    q["ngram_jaccard_pairs"] = ngram_jaccard_pairs
+
+    # ---- similarity search over embeddings --------------------------------
+
+    def embedding_cosine_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        dot = F.expr(
+            "aggregate(zip_with(q_emb, n_emb, (x, y) -> x * y),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        norm_q = F.expr(
+            "sqrt(aggregate(q_emb, cast(0.0 as double), (acc, v) -> acc + v * v))"
+        )
+        norm_n = F.expr(
+            "sqrt(aggregate(n_emb, cast(0.0 as double), (acc, v) -> acc + v * v))"
+        )
+        queries_df = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        neigh = e.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+        )
+        scored = (
+            queries_df.crossJoin(neigh)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cosine", dot / (norm_q * norm_n))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "neighbor_id", "rnk")
+        )
+
+    q["embedding_cosine_topk"] = embedding_cosine_topk
+
+    def embedding_near_dup_pairs(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        a = e.select(
+            F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+        )
+        b = e.select(
+            F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+        )
+        dot = F.expr(
+            "aggregate(zip_with(ea, eb, (x, y) -> x * y),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        na = F.expr("sqrt(aggregate(ea, cast(0.0 as double), (acc, v) -> acc + v * v))")
+        nb = F.expr("sqrt(aggregate(eb, cast(0.0 as double), (acc, v) -> acc + v * v))")
+        return (
+            a.join(b, "label")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cosine", dot / (na * nb))
+            .filter(F.col("cosine") >= 0.35)
+            .select("vec_a", "vec_b", "label")
+        )
+
+    q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
+
+    # ---- joins / aggregations / windows on the star schema ----------------
+
+    def tpch_q1_pricing(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02")
+        )
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1).alias(
+                "revenue"
+            ),
+            F.count("*").alias("count_order"),
+        )
+
+    q["tpch_q1_pricing"] = tpch_q1_pricing
+
+    def region_revenue(spark, sf):
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        return (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 1).alias("revenue"),
+            )
+        )
+
+    q["region_revenue"] = region_revenue
+
+    def top3_customers_per_nation(spark, sf):
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        per_cust = (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name", "c_custkey")
+            .agg(F.count("*").alias("n_orders"))
+        )
+        w = Window.partitionBy("n_name").orderBy(
+            F.desc("n_orders"), F.asc("c_custkey")
+        )
+        return (
+            per_cust.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("n_name", "c_custkey", "n_orders", "rnk")
+        )
+
+    q["top3_customers_per_nation"] = top3_customers_per_nation
+
+    def customers_without_orders(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        return c.join(
+            o, c.c_custkey == o.o_custkey, "left_anti"
+        ).select("c_custkey", "c_name")
+
+    q["customers_without_orders"] = customers_without_orders
+
+    def events_user_degree(spark, sf):
+        # A6 degree computation analog over the events table
+        return (
+            _t(spark, sf, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("event_type").alias("n_event_types"),
+            )
+        )
+
+    q["events_user_degree"] = events_user_degree
+
+    def confidence_product_complement(spark, sf):
+        # A4: edge-confidence aggregation conf = 1 - prod(1 - c)
+        e = _t(spark, sf, "events").withColumn(
+            "c", F.least(F.greatest(F.col("value") / 1000.0, F.lit(0.0)), F.lit(0.99))
+        )
+        return e.groupBy("user_id").agg(
+            F.round(1 - F.exp(F.sum(F.log1p(-F.col("c")))), 4).alias("conf"),
+            F.count("*").alias("support_count"),
+        )
+
+    q["confidence_product_complement"] = confidence_product_complement
+
+    def sessionize_events(spark, sf):
+        # W-family: lag + gap>30min cumulative session counting
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ep = F.unix_micros(F.col("ts").cast("timestamp"))
+        gap = ep - F.lag(ep).over(w)
+        flagged = e.withColumn(
+            "new_sess", F.when(gap > 1800 * 1_000_000, 1).otherwise(0)
+        )
+        return flagged.groupBy("user_id").agg(
+            (F.sum("new_sess") + 1).alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+
+    q["sessionize_events"] = sessionize_events
+
+    # ---- connected components kernel vs recursive-SQL oracle --------------
+
+    def cc_chain_components(spark, sf):
+        from sift_kg_spark.operators.components import connected_components
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        max_id = d.agg(F.max("doc_id")).collect()[0][0]
+        edges = (
+            d.filter((F.col("doc_id") % 10 < 3) & (F.col("doc_id") < max_id))
+            .select(
+                F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("url_a"),
+                F.lpad((F.col("doc_id") + 1).cast("string"), 8, "0").alias("url_b"),
+            )
+        )
+        cc = connected_components(edges)
+        return cc.select(
+            F.col("url").alias("node"), F.col("cluster_id").alias("component")
+        )
+
+    q["cc_chain_components"] = cc_chain_components
+
+    # ---- dedup pipeline stages (rows-only: not SQL-expressible) -----------
+
+    def dedup_lsh_candidates(spark, sf):
+        from sift_kg_spark.config import DedupConfig
+        from sift_kg_spark.functions.features import make_features_udf
+        from sift_kg_spark.functions.text import normalize_text_udf
+        from sift_kg_spark.operators.lsh import candidate_pairs, explode_keys
+
+        cfg = DedupConfig(min_text_chars=10)
+        pages = _docs_as_pages(spark, sf)
+        docs = pages.withColumn("text_norm", normalize_text_udf("text"))
+        udf = make_features_udf(cfg)
+        feats = docs.select(
+            "url", "lang", udf(F.col("text_norm")).alias("f")
+        ).select("url", "lang", "f.*")
+        return candidate_pairs(explode_keys(feats, cfg), cfg)
+
+    q["dedup_lsh_candidates"] = dedup_lsh_candidates
+
+    def dedup_full_pipeline(spark, sf):
+        from sift_kg_spark.config import DedupConfig
+        from sift_kg_spark.pipeline import run_dedup
+
+        pages = _docs_as_pages(spark, sf)
+        res = run_dedup(spark, pages, DedupConfig(min_text_chars=10))
+        return res.assignments
+
+    q["dedup_full_pipeline"] = dedup_full_pipeline
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (duckdb side)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["exact_dup_clusters"] = """
+        SELECT md5(text) AS text_hash,
+               count(*) AS cluster_size,
+               min(doc_id) AS canonical_doc_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1
     """
-    return {}
+
+    o["normalized_fingerprints"] = f"""
+        SELECT doc_id, substr(md5({_NORM_DUCK}), 1, 16) AS fp16
+        FROM documents
+    """
+
+    o["canonical_pick_a1"] = """
+        WITH blocked AS (
+            SELECT doc_id, n_chars,
+                   md5(array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:2], ' ')) AS block
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, block,
+                   first_value(doc_id) OVER (
+                       PARTITION BY block ORDER BY n_chars DESC, doc_id ASC
+                   ) AS canonical_doc_id,
+                   count(*) OVER (PARTITION BY block) AS block_size
+            FROM blocked
+        )
+        SELECT doc_id, block, canonical_doc_id, block_size
+        FROM ranked WHERE block_size > 1
+    """
+
+    o["quarantine_near_empty"] = """
+        SELECT doc_id, n_chars, 'near_empty' AS reason
+        FROM documents WHERE length(trim(text)) < 100
+    """
+
+    o["lang_histogram"] = """
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang
+    """
+
+    o["token_stats"] = """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_uniq_tokens
+        FROM documents
+    """
+
+    o["quality_scores"] = """
+        SELECT doc_id,
+               length(text) AS len_chars,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
+               CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INT) AS the_hits,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) >= 30 AS INT) AS is_quality
+        FROM documents
+    """
+
+    o["lang_id_stopword_votes"] = """
+        WITH padded AS (
+            SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+        ), votes AS (
+            SELECT doc_id,
+                   CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+                      + (length(p) - length(replace(p, ' and ', ''))) / 5 AS INT) AS votes_en,
+                   CAST((length(p) - length(replace(p, ' el ', ''))) / 4
+                      + (length(p) - length(replace(p, ' de ', ''))) / 4 AS INT) AS votes_es,
+                   CAST((length(p) - length(replace(p, ' der ', ''))) / 5
+                      + (length(p) - length(replace(p, ' und ', ''))) / 5 AS INT) AS votes_de
+            FROM padded
+        )
+        SELECT doc_id, votes_en, votes_es, votes_de,
+               CASE WHEN votes_en >= votes_es AND votes_en >= votes_de AND votes_en > 0 THEN 'en'
+                    WHEN votes_es >= votes_de AND votes_es > 0 THEN 'es'
+                    WHEN votes_de > 0 THEN 'de'
+                    ELSE 'und' END AS guess
+        FROM votes
+    """
+
+    o["ngram_jaccard_pairs"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   md5(array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:2], ' ')) AS block,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, block,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 1)),
+                       i -> array_to_string(t[i:i+2], ' ')
+                   )) AS gram
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM grams a JOIN grams b
+              ON a.block = b.block AND a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_inter,
+               sa.n_grams AS grams_a, sb.n_grams AS grams_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    """
+
+    o["embedding_cosine_topk"] = """
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.embedding, n.embedding) AS cosine
+            FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+            WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+               ) AS rnk
+        FROM scored
+        QUALIFY rnk <= 5
+    """
+
+    o["embedding_near_dup_pairs"] = """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+    """
+
+    o["tpch_q1_pricing"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["region_revenue"] = """
+        SELECT r_name, count(*) AS n_orders,
+               round(sum(o_totalprice), 1) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+    o["top3_customers_per_nation"] = """
+        WITH per_cust AS (
+            SELECT n_name, c_custkey, count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, c_custkey
+        )
+        SELECT n_name, c_custkey, n_orders,
+               row_number() OVER (
+                   PARTITION BY n_name ORDER BY n_orders DESC, c_custkey ASC
+               ) AS rnk
+        FROM per_cust QUALIFY rnk <= 3
+    """
+
+    o["customers_without_orders"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+    o["events_user_degree"] = """
+        SELECT user_id, count(*) AS n_events,
+               count(DISTINCT event_type) AS n_event_types
+        FROM events GROUP BY user_id
+    """
+
+    o["confidence_product_complement"] = """
+        SELECT user_id,
+               round(1 - exp(sum(ln(1 - least(greatest(value / 1000.0, 0.0), 0.99)))), 4) AS conf,
+               count(*) AS support_count
+        FROM events GROUP BY user_id
+    """
+
+    o["sessionize_events"] = """
+        WITH lagged AS (
+            SELECT user_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                        ) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        )
+        SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM lagged GROUP BY user_id
+    """
+
+    o["cc_chain_components"] = """
+        WITH RECURSIVE mx AS (SELECT max(doc_id) AS m FROM documents),
+        edges AS (
+            SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS a,
+                   lpad(CAST(doc_id + 1 AS VARCHAR), 8, '0') AS b
+            FROM documents, mx
+            WHERE doc_id % 10 < 3 AND doc_id < mx.m
+        ),
+        sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+        nodes AS (SELECT DISTINCT a AS node FROM sym),
+        reach(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+        )
+        SELECT node, min(label) AS component FROM reach GROUP BY node
+    """
+
+    # dedup_lsh_candidates / dedup_full_pipeline: intentionally no oracle —
+    # MinHash/LSH band hashing and the iterative pipeline are not
+    # SQL-expressible; the driver records the weaker rows-only check.
+    return o

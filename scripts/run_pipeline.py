@@ -1,0 +1,91 @@
+"""spark-submit entry point for the dedup pipeline.
+
+Usage (the north-rule launch mode):
+
+    zip -r /tmp/sift_kg_spark.zip sift_kg_spark
+    spark-submit --master local[32] --py-files /tmp/sift_kg_spark.zip \\
+        scripts/run_pipeline.py --pages /path/to/pages.parquet \\
+        --workdir /path/to/workdir
+
+Reads the pages table, runs extract -> exact -> MinHash/LSH -> verify ->
+suffix -> connected components, commits every stage snapshot + metrics +
+lineage under --workdir, and prints a one-line JSON summary. Re-running
+with the same --workdir resumes from the last committed stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pages", required=True, help="pages parquet path")
+    p.add_argument("--workdir", required=True, help="stage-snapshot directory")
+    p.add_argument("--no-resume", action="store_true",
+                   help="recompute every stage even if committed")
+    p.add_argument("--shingle-k", type=int, default=None)
+    p.add_argument("--num-perm", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from sift_kg_spark.config import DedupConfig
+    from sift_kg_spark.pipeline import run_dedup
+
+    overrides = {}
+    if args.shingle_k is not None:
+        overrides["shingle_k"] = args.shingle_k
+    if args.num_perm is not None:
+        overrides["num_perm"] = args.num_perm
+    cfg = DedupConfig(**overrides)
+
+    # Respect the spark-submit master; only fill in defaults.
+    spark = (
+        SparkSession.builder.appName("sift_kg_spark.run_pipeline")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    t0 = time.monotonic()
+    pages = spark.read.parquet(args.pages)
+    result = run_dedup(
+        spark, pages, cfg, workdir=args.workdir, resume=not args.no_resume
+    )
+    n_docs = result.assignments.count()
+    n_clusters = result.clusters.count()
+    n_dup_rows = n_docs - n_clusters
+    n_confirmed = result.dup_pairs.filter("status = 'confirmed'").count()
+    n_flagged = result.review_pairs.count()
+    n_quarantined = result.quarantine.count()
+    elapsed = time.monotonic() - t0
+
+    print(
+        json.dumps(
+            {
+                "docs": n_docs,
+                "clusters": n_clusters,
+                "duplicate_rows_removed": n_dup_rows,
+                "confirmed_pairs": n_confirmed,
+                "flagged_pairs": n_flagged,
+                "quarantined": n_quarantined,
+                "elapsed_sec": round(elapsed, 2),
+                "docs_per_sec": round(n_docs / elapsed, 1) if elapsed else None,
+                "workdir": args.workdir,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

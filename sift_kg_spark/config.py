@@ -1,0 +1,82 @@
+"""Pipeline configuration.
+
+Threshold semantics mirror the reference's Layer-3 review gates
+(/root/reference/src/sift_kg/resolve/reviewer.py:39-77 — auto-approve,
+auto-reject, in-between flagged as DRAFT) but operate on deterministic
+similarity scores instead of LLM confidences:
+
+* ``approve_jaccard`` / ``reject_jaccard`` — three-way split of verified
+  candidate pairs on the exact k-shingle Jaccard. The reference's 0.85/0.5
+  numbers apply to LLM confidence and do not transfer numerically to a
+  Jaccard scale; defaults here are chosen so that the documented near-dup
+  contract ("<= 5% token edits is a duplicate") is auto-approved:
+  a 4% token-substitution rate under 5-gram shingling yields J ~= 0.69.
+* flagged pairs (the DRAFT zone) get two deterministic confirmations,
+  replacing the reference's human/LLM review:
+  SimHash Hamming <= ``simhash_confirm_hamming``, or a shared exact
+  substring >= ``min_span_bytes`` found by the suffix-array stage.
+  Unconfirmed flagged pairs land in the review table and are EXCLUDED
+  from clustering — exactly the reference's DRAFT-not-applied semantics
+  (/root/reference/src/sift_kg/resolve/engine.py:27,
+  tests/test_resolve.py:256-270).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling / MinHash signature config (the "same shingle/signature
+    # config" axis the recall target is defined over) ---
+    shingle_k: int = 5          # word k-grams
+    num_perm: int = 128         # MinHash permutations
+    bands: int = 32             # LSH bands (bands * rows_per_band == num_perm)
+    rows_per_band: int = 4
+
+    # --- Layer-3 threshold review analog ---
+    approve_jaccard: float = 0.60   # >= : auto-confirm (dup edge)
+    reject_jaccard: float = 0.30    # <  : auto-reject (non-dup)
+    simhash_confirm_hamming: int = 6   # flagged pair confirm via SimHash64
+    min_span_bytes: int = 256          # flagged pair confirm via suffix-array
+    max_span_doc_bytes: int = 2_000_000  # safety cap for the suffix-array stage
+
+    # --- quarantine (reference near-empty detection,
+    # /root/reference/src/sift_kg/ingest/kreuzberg_extractor.py:44-45) ---
+    min_text_chars: int = 50
+
+    # --- grouping: reference pre-dedup groups per entity_type
+    # (/root/reference/src/sift_kg/graph/prededup.py:95-100); the webtext
+    # analog is grouping per lang: cross-lang identical text never merges.
+    partition_by_lang: bool = True
+
+    # --- skew handling (north rule: salted band-hash exchange with
+    # hot-band splitting) ---
+    hot_band_cap: int = 64      # buckets larger than this pair against the
+    # bucket representative (star) instead of all-pairs; boilerplate-driven
+    # mega-buckets otherwise generate O(n^2) pairs.
+
+    # --- connected components ---
+    max_cc_iterations: int = 50
+
+    seed: int = 42
+
+    # SimHash chunk candidates: splitting the 64-bit SimHash into
+    # ``simhash_chunks`` pieces guarantees (pigeonhole) that every pair with
+    # Hamming distance < simhash_chunks shares at least one chunk — a
+    # *deterministic* recall channel alongside probabilistic MinHash-LSH.
+    simhash_chunks: int = 4
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows ({self.bands}*{self.rows_per_band}) != num_perm ({self.num_perm})"
+            )
+        if not (0.0 <= self.reject_jaccard <= self.approve_jaccard <= 1.0):
+            raise ValueError("need 0 <= reject_jaccard <= approve_jaccard <= 1")
+        if 64 % self.simhash_chunks != 0:
+            raise ValueError("simhash_chunks must divide 64")
+
+
+DEFAULT_CONFIG = DedupConfig()

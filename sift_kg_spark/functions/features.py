@@ -1,0 +1,68 @@
+"""The per-document signature feature UDF.
+
+One Arrow-vectorized pass per batch computes everything downstream stages
+need, so the (expensive) tokenize/hash work happens exactly once per doc:
+
+  * ``shingles``  — sorted-unique k-gram shingle hashes (int64 bit-view);
+                    the exact-Jaccard verify stage intersects these.
+  * ``minhash``   — num_perm MinHash values.
+  * ``bands``     — LSH band keys (the candidate-generation exchange key).
+  * ``simhash``   — 64-bit SimHash (fuzzy confirmation via Hamming).
+  * ``simchunks`` — SimHash chunk keys (deterministic low-Hamming
+                    candidate channel, pigeonhole guarantee).
+  * ``n_tokens`` / ``n_shingles`` — metrics + Jaccard denominators.
+
+Replaces the reference's embedding+SemHash fuzzy phase
+(/root/reference/src/sift_kg/graph/prededup.py:120-139) and the LLM
+candidate-judgment inputs (/root/reference/src/sift_kg/resolve/resolver.py:
+338-429) with deterministic signatures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sift_kg_spark.config import DedupConfig
+from sift_kg_spark.functions import hashing as H
+
+FEATURE_SCHEMA = (
+    "n_tokens int, n_shingles int, shingles array<bigint>, "
+    "minhash array<bigint>, bands array<bigint>, simhash bigint, "
+    "simchunks array<bigint>"
+)
+
+
+def compute_features_pdf(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
+    """Pure batch implementation — shared by the Spark UDF and the oracle."""
+    seeds = H.perm_seeds(cfg.num_perm, cfg.seed)
+    token_hashes, offsets = H.tokenize_batch(texts)
+    sets = H.shingle_sets(token_hashes, offsets, cfg.shingle_k)
+    sig = H.minhash_signatures(sets, seeds)
+    bands = H.band_hashes(sig, cfg.bands, cfg.rows_per_band)
+    sim = H.simhash64(token_hashes, offsets)
+    chunks = H.simhash_chunks(sim, cfg.simhash_chunks)
+
+    n_tokens = np.diff(offsets).astype(np.int32)
+    return pd.DataFrame(
+        {
+            "n_tokens": n_tokens,
+            "n_shingles": np.array([len(s) for s in sets], dtype=np.int32),
+            "shingles": [np.sort(s.view(np.int64)) for s in sets],
+            "minhash": list(sig.view(np.int64)),
+            "bands": list(bands.view(np.int64)),
+            "simhash": sim.view(np.int64),
+            "simchunks": list(chunks.view(np.int64)),
+        }
+    )
+
+
+def make_features_udf(cfg: DedupConfig):
+    """Build the pandas UDF with the config baked into the closure."""
+
+    @F.pandas_udf(FEATURE_SCHEMA)
+    def features_udf(text: pd.Series) -> pd.DataFrame:
+        return compute_features_pdf(text, cfg)
+
+    return features_udf

@@ -1,0 +1,216 @@
+"""Vectorized shingling / MinHash / SimHash / LSH band hashing.
+
+This module replaces the reference's embedding-based fuzzy phase
+(/root/reference/src/sift_kg/graph/prededup.py:120-139,153-174 — SemHash
+``self_deduplicate(threshold=0.95)`` over Model2Vec embeddings) with a
+deterministic MinHash/SimHash signature scheme, per the north rule: the
+recall target is defined "at the same shingle/signature config", so the
+comparison oracle (sift_kg_spark.oracle) runs THESE exact functions
+single-process.
+
+All hot paths are numpy over whole Arrow record batches:
+ * string hashing via ``pd.util.hash_array`` (SipHash, fixed key —
+   deterministic across processes/runs);
+ * k-gram shingle hashes via a vectorized polynomial rolling combine over
+   the concatenated token-hash array (no per-row Python);
+ * MinHash via ``np.minimum.reduceat`` over per-permutation splitmix64
+   remixes of the shingle-hash array (full-avalanche finalizer, so min over
+   the 64-bit value is unbiased — preferred over low-bit-weak
+   multiply-shift affine transforms);
+ * SimHash64 via ``np.unpackbits`` + ``np.add.reduceat`` column sums.
+
+Everything is uint64 internally and surfaced to Spark as int64 bit-views
+(bit patterns preserved; only in-engine consistency matters).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# pandas' default hash key, pinned explicitly so a pandas default change
+# can never silently alter signatures.
+_HASH_KEY = "0123456789123456"
+_POLY_C = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def mix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized full-avalanche uint64 mix."""
+    v = v.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        v ^= v >> np.uint64(30)
+        v *= _M1
+        v ^= v >> np.uint64(27)
+        v *= _M2
+        v ^= v >> np.uint64(31)
+    return v
+
+
+def perm_seeds(num_perm: int, seed: int) -> np.ndarray:
+    """Deterministic per-permutation xor seeds."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, 2**63 - 1, size=num_perm, dtype=np.uint64)
+
+
+def hash_strings(arr: np.ndarray) -> np.ndarray:
+    """Stable 64-bit hashes of an object array of strings."""
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=True).astype(
+        np.uint64
+    )
+
+
+def tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated token-hash array + per-doc offsets for a text batch.
+
+    Returns ``(token_hashes, offsets)`` where doc i's tokens live at
+    ``token_hashes[offsets[i]:offsets[i+1]]`` (offsets has len n_docs+1).
+    Tokens are whitespace splits of the (already normalized) text.
+    """
+    token_lists = texts.fillna("").str.split()
+    lens = token_lists.map(len).to_numpy(dtype=np.int64)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat: list[str] = []
+    for toks in token_lists:
+        flat.extend(toks)
+    token_hashes = hash_strings(np.asarray(flat, dtype=object))
+    return token_hashes, offsets
+
+
+def shingle_sets(
+    token_hashes: np.ndarray, offsets: np.ndarray, k: int
+) -> list[np.ndarray]:
+    """Per-doc sorted-unique k-gram shingle hashes.
+
+    The shingle hash is a degree-k polynomial over the token hashes
+    (uint64 wraparound), remixed through splitmix64 — computed with k
+    vectorized passes over the whole batch, then masked at doc boundaries.
+    Docs with fewer than k tokens contribute one whole-doc shingle.
+    """
+    n_docs = len(offsets) - 1
+    total = int(offsets[-1])
+    out: list[np.ndarray] = [np.empty(0, dtype=np.uint64)] * n_docs
+    if total == 0:
+        return out
+
+    with np.errstate(over="ignore"):
+        if total >= k:
+            win = total - k + 1
+            poly = np.zeros(win, dtype=np.uint64)
+            c = np.uint64(1)
+            for j in range(k):
+                poly += token_hashes[j : j + win] * c
+                c = np.uint64(c * _POLY_C)
+            poly = mix64(poly)
+        else:
+            poly = np.empty(0, dtype=np.uint64)
+
+    for i in range(n_docs):
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        n_tok = hi - lo
+        if n_tok == 0:
+            continue
+        if n_tok >= k:
+            sh = poly[lo : hi - k + 1]
+        else:
+            with np.errstate(over="ignore"):
+                acc = np.uint64(0)
+                c = np.uint64(1)
+                for j in range(lo, hi):
+                    acc = np.uint64(acc + token_hashes[j] * c)
+                    c = np.uint64(c * _POLY_C)
+            sh = mix64(np.array([acc ^ np.uint64(n_tok)], dtype=np.uint64))
+        out[i] = np.unique(sh)
+    return out
+
+
+def minhash_signatures(
+    sets: list[np.ndarray], seeds: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash matrix via reduceat batching.
+
+    Empty shingle sets get the all-max sentinel signature (they never
+    collide with real docs — such rows are quarantined upstream anyway).
+    """
+    num_perm = len(seeds)
+    n_docs = len(sets)
+    sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonempty = [i for i, s in enumerate(sets) if len(s)]
+    if not nonempty:
+        return sig
+    concat = np.concatenate([sets[i] for i in nonempty])
+    lens = np.array([len(sets[i]) for i in nonempty], dtype=np.int64)
+    offs = np.zeros(len(nonempty), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    for p in range(num_perm):
+        v = mix64(concat ^ seeds[p])
+        sig[nonempty, p] = np.minimum.reduceat(v, offs)
+    return sig
+
+
+def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n_docs, bands) uint64 band keys from the MinHash matrix.
+
+    Band key = splitmix64 of the polynomial combine of the band's rows,
+    xor'd with a per-band seed so identical row-slices in different bands
+    never alias.
+    """
+    n_docs = sig.shape[0]
+    grouped = sig.reshape(n_docs, bands, rows)
+    with np.errstate(over="ignore"):
+        poly = np.zeros((n_docs, bands), dtype=np.uint64)
+        c = np.uint64(1)
+        for r in range(rows):
+            poly += grouped[:, :, r] * c
+            c = np.uint64(c * _POLY_C)
+        band_seed = mix64(np.arange(1, bands + 1, dtype=np.uint64))
+        poly ^= band_seed[None, :]
+    return mix64(poly.reshape(-1)).reshape(n_docs, bands)
+
+
+def simhash64(token_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-doc 64-bit SimHash over token hashes (unit weights).
+
+    Bit b of the result is 1 iff more than half the doc's token hashes have
+    bit b set (ties -> 0; deterministic).
+    """
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    total = int(offsets[-1])
+    if total == 0:
+        return out
+    bits = np.unpackbits(
+        token_hashes.view(np.uint8).reshape(total, 8), axis=1, bitorder="little"
+    )  # (total, 64) matching uint64 little-endian layout
+    nonempty = np.flatnonzero(np.diff(offsets) > 0)
+    starts = offsets[nonempty]
+    counts = np.add.reduceat(bits, starts, axis=0)
+    lens = np.diff(offsets)[nonempty][:, None]
+    majority = (2 * counts) > lens  # (n_nonempty, 64) bool
+    packed = np.packbits(majority.astype(np.uint8), axis=1, bitorder="little")
+    out[nonempty] = packed.copy().view(np.uint64).reshape(-1)
+    return out
+
+
+def simhash_chunks(sim: np.ndarray, n_chunks: int) -> np.ndarray:
+    """(n_docs, n_chunks) uint64 chunk keys of the SimHash.
+
+    Pigeonhole guarantee: any pair with Hamming distance < n_chunks shares
+    at least one chunk — a deterministic candidate channel (north-rule
+    SimHash confirmation gets its candidates from here as well as from
+    MinHash bands).
+    """
+    width = 64 // n_chunks
+    mask = np.uint64((1 << width) - 1)
+    cols = []
+    with np.errstate(over="ignore"):
+        for c in range(n_chunks):
+            chunk = (sim >> np.uint64(c * width)) & mask
+            # mix with the chunk index so chunk keys live in distinct spaces
+            cols.append(mix64(chunk ^ mix64(np.full_like(sim, c + 101))))
+    return np.stack(cols, axis=1)

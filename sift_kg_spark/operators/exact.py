@@ -1,0 +1,76 @@
+"""Exact-duplicate stage — Layer 1 phase 1 of the reference workflow.
+
+The reference groups entities by a normalized key and merges every group
+(/root/reference/src/sift_kg/graph/prededup.py:104-117). The webtext analog
+groups pages by ``sha2(text_norm)`` (optionally per ``lang``, mirroring the
+reference's per-entity-type grouping at prededup.py:95-100) — a single hash
+aggregation, no shuffle beyond the groupBy, with map-side partial
+aggregation for free.
+
+The group representative follows the reference's deterministic canonical
+rule (prededup.py:177-196: most frequent -> longest -> lexicographically
+first). Exact-dup members share identical text, so frequency and length tie
+by construction and the rule reduces to min(url) — a total order, hence
+deterministic under any partitioning (SURVEY.md §4).
+
+Emitting member<->representative STAR edges (not all pairs) keeps the edge
+count linear in the group size — the planted heavy-hitter family (~1% of a
+corpus can be one boilerplate page) would otherwise produce O(n^2) pairs.
+Connected components restores the full cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sift_kg_spark.config import DedupConfig
+
+
+def exact_dup_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Star edges (url_a=member, url_b=representative) per exact-dup group.
+
+    ``docs`` needs columns: url, lang, text_norm (or a precomputed ``sha``).
+    """
+    if "sha" in docs.columns:
+        keyed = docs.select("url", "lang", "sha")
+    else:
+        keyed = docs.select(
+            "url", "lang", F.sha2(F.col("text_norm"), 256).alias("sha")
+        )
+    group_cols = ["sha", "lang"] if cfg.partition_by_lang else ["sha"]
+
+    reps = (
+        keyed.groupBy(*group_cols)
+        .agg(F.min("url").alias("rep_url"), F.count("*").alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+    return (
+        keyed.join(reps, on=group_cols, how="inner")
+        .filter(F.col("url") != F.col("rep_url"))
+        .select(
+            F.col("url").alias("url_a"),
+            F.col("rep_url").alias("url_b"),
+            F.lit("exact").alias("channel"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+
+def exact_representatives(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """One representative row per distinct normalized text.
+
+    Mirrors the reference running its fuzzy phase over the UNIQUE normalized
+    forms only (prededup.py:121-127): downstream MinHash/LSH work never sees
+    exact duplicates twice, which also removes exact-dup-driven skew from
+    the band exchange.
+    """
+    group_cols = ["sha", "lang"] if cfg.partition_by_lang else ["sha"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(F.col("url"))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

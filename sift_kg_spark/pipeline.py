@@ -1,0 +1,260 @@
+"""End-to-end dedup pipeline: pages -> duplicate clusters.
+
+Stage map (each stage = one committed snapshot when a ``workdir`` is given;
+arrows are DataFrame transformations, shuffles marked):
+
+    pages(url, warc_ts, html, text, lang)
+      │  extract: text := coalesce(text, extract_text_udf(html))   [narrow]
+      │  normalize + sha2(text_norm)                               [narrow]
+      ├─ quarantine (null/near-empty text)                         [narrow]
+      ▼
+    docs ──► exact_pairs (groupBy sha)                       [shuffle: sha]
+      │  exact representatives (one per distinct sha)        [shuffle: sha]
+      ▼
+    features (signature UDF over representatives)                  [narrow]
+      ▼
+    keys (posexplode bands/chunks/anchors)                         [narrow]
+      ▼
+    candidates (bucket sizes + self-join, hot-band star)     [shuffle: key]
+      ▼
+    verified (2 joins on url + Jaccard UDF + bit_count)      [shuffle: url]
+      ▼
+    spans (suffix-array over still-flagged pairs)            [shuffle: url]
+      ▼
+    dup_pairs = exact ∪ confirmed;  review_pairs = flagged
+      ▼
+    assignments (connected components, O(diameter) rounds)  [shuffle: node]
+      ▼
+    clusters (A1 canonical rule per cluster)             [shuffle: cluster]
+
+Decision semantics per stage are documented in the operator modules; this
+module only wires them together and owns checkpoint/resume ordering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sift_kg_spark.config import DEFAULT_CONFIG, DedupConfig
+from sift_kg_spark.functions.features import make_features_udf
+from sift_kg_spark.functions.text import extract_text_udf, normalize_text_udf
+from sift_kg_spark.operators.components import connected_components
+from sift_kg_spark.operators.exact import exact_dup_pairs, exact_representatives
+from sift_kg_spark.operators.lsh import candidate_pairs, explode_keys
+from sift_kg_spark.operators.suffix import confirm_spans
+from sift_kg_spark.operators.verify import verify_pairs
+from sift_kg_spark.tableio import StageStore
+
+PAIR_COLUMNS = [
+    "url_a",
+    "url_b",
+    "channel",
+    "n_keys",
+    "jaccard",
+    "hamming",
+    "span",
+    "status",
+    "decided_by",
+]
+
+
+@dataclass
+class DedupResult:
+    docs: DataFrame
+    quarantine: DataFrame
+    dup_pairs: DataFrame      # every scored pair: confirmed/rejected/flagged
+    review_pairs: DataFrame   # the DRAFT zone (excluded from clustering)
+    assignments: DataFrame    # url, cluster_id, canonical_url, cluster_size
+    clusters: DataFrame       # cluster_id, size, canonical_url
+    store: StageStore | None = None
+
+
+def prepare_docs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Extraction + normalization; adds text, text_norm, sha, n_chars.
+
+    ``text`` is reused when the source already carries extracted text
+    (input contract: byte-identical extracted text per url — rows with
+    html get the same pandas-UDF walk the oracle uses).
+    """
+    text = F.coalesce(F.col("text"), extract_text_udf(F.col("html")))
+    return (
+        pages.withColumn("text", text)
+        .withColumn("text_norm", normalize_text_udf(F.col("text")))
+        .withColumn("n_chars", F.length("text"))
+        .select("url", "lang", "text", "text_norm", "n_chars")
+    )
+
+
+def split_quarantine(
+    docs: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Near-empty / failed-extraction quarantine (reference: avg chars/page
+    thresholds, ingest/kreuzberg_extractor.py:44-45; errored extractions
+    skipped, graph/prededup.py:92-93). Quarantined rows never merge."""
+    is_bad = (
+        F.col("text").isNull()
+        | (F.length(F.trim(F.col("text"))) < cfg.min_text_chars)
+    )
+    good = docs.filter(~is_bad).withColumn(
+        "sha", F.sha2(F.col("text_norm"), 256)
+    )
+    quarantine = docs.filter(is_bad).select(
+        "url",
+        "lang",
+        F.when(F.col("text").isNull(), "extraction_failed")
+        .otherwise("near_empty")
+        .alias("reason"),
+    )
+    return good, quarantine
+
+
+def run_dedup(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    workdir: str | None = None,
+    resume: bool = True,
+) -> DedupResult:
+    store = (
+        StageStore(spark, workdir, context=asdict(cfg)) if workdir else None
+    )
+
+    def commit(name: str, build, inputs: tuple[str, ...] = ()) -> DataFrame:
+        if store is None:
+            # No snapshot dir: cache instead, so multi-consumer stages
+            # (docs, features, dup_pairs feed 2+ downstream stages) are
+            # computed once per run, not once per downstream action.
+            return build().persist()
+        return store.stage(name, build, inputs=inputs, resume=resume)
+
+    docs = commit("docs", lambda: split_quarantine(prepare_docs(pages, cfg), cfg)[0], ("pages",))
+    quarantine = commit(
+        "quarantine",
+        lambda: split_quarantine(prepare_docs(pages, cfg), cfg)[1],
+        ("pages",),
+    )
+
+    exact_pairs = commit(
+        "exact_pairs", lambda: exact_dup_pairs(docs, cfg), ("docs",)
+    )
+
+    features_udf = make_features_udf(cfg)
+
+    def build_features() -> DataFrame:
+        reps = exact_representatives(docs, cfg)
+        return reps.select(
+            "url",
+            "lang",
+            "n_chars",
+            features_udf(F.col("text_norm")).alias("f"),
+        ).select("url", "lang", "n_chars", "f.*")
+
+    features = commit("features", build_features, ("docs",))
+
+    def build_candidates() -> DataFrame:
+        keys = explode_keys(features, cfg)
+        return candidate_pairs(keys, cfg)
+
+    candidates = commit("candidates", build_candidates, ("features",))
+
+    verified = commit(
+        "verified",
+        lambda: verify_pairs(candidates, features, cfg),
+        ("candidates", "features"),
+    )
+
+    def build_spans() -> DataFrame:
+        flagged = verified.filter(F.col("status") == "flagged").select(
+            "url_a", "url_b"
+        )
+        texts = docs.select("url", "text_norm")
+        flagged_texts = (
+            flagged.join(
+                texts.select(
+                    F.col("url").alias("url_a"), F.col("text_norm").alias("text_a")
+                ),
+                "url_a",
+            ).join(
+                texts.select(
+                    F.col("url").alias("url_b"), F.col("text_norm").alias("text_b")
+                ),
+                "url_b",
+            )
+        ).select("url_a", "url_b", "text_a", "text_b")
+        return confirm_spans(flagged_texts, cfg)
+
+    spans = commit("spans", build_spans, ("verified", "docs"))
+
+    def build_pairs() -> DataFrame:
+        scored = verified.join(spans, ["url_a", "url_b"], "left")
+        span_confirm = (F.col("status") == "flagged") & (
+            F.col("span") >= cfg.min_span_bytes
+        )
+        upgraded = scored.withColumn(
+            "decided_by",
+            F.when(span_confirm, F.lit("suffix")).otherwise(F.col("decided_by")),
+        ).withColumn(
+            "status",
+            F.when(span_confirm, F.lit("confirmed")).otherwise(F.col("status")),
+        )
+        exact = (
+            exact_pairs.withColumn("n_keys", F.lit(None).cast("bigint"))
+            .withColumn("hamming", F.lit(0))
+            .withColumn("span", F.lit(None).cast("int"))
+            .withColumn("status", F.lit("confirmed"))
+            .withColumn("decided_by", F.lit("exact"))
+        )
+        return exact.select(*PAIR_COLUMNS).unionByName(
+            upgraded.select(*PAIR_COLUMNS)
+        )
+
+    dup_pairs = commit("dup_pairs", build_pairs, ("verified", "spans", "exact_pairs"))
+
+    review_pairs = dup_pairs.filter(F.col("status") == "flagged")
+
+    def build_assignments() -> DataFrame:
+        edges = dup_pairs.filter(F.col("status") == "confirmed").select(
+            "url_a", "url_b"
+        )
+        cc = connected_components(edges, cfg.max_cc_iterations)
+        assigned = docs.select("url", "n_chars").join(cc, "url", "left")
+        assigned = assigned.withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("url"))
+        )
+        # A1 canonical rule (prededup.py:177-196): most frequent (ties for
+        # pages) -> longest text -> lexicographically smallest url. Total
+        # order => deterministic under any partitioning.
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("n_chars"), F.asc("url")
+        )
+        wsize = Window.partitionBy("cluster_id")
+        return (
+            assigned.withColumn(
+                "canonical_url", F.first("url").over(w)
+            )
+            .withColumn("cluster_size", F.count("*").over(wsize))
+            .select("url", "cluster_id", "canonical_url", "cluster_size")
+        )
+
+    assignments = commit("assignments", build_assignments, ("dup_pairs", "docs"))
+
+    def build_clusters() -> DataFrame:
+        return assignments.groupBy("cluster_id").agg(
+            F.count("*").alias("size"),
+            F.min("canonical_url").alias("canonical_url"),
+        )
+
+    clusters = commit("clusters", build_clusters, ("assignments",))
+
+    return DedupResult(
+        docs=docs,
+        quarantine=quarantine,
+        dup_pairs=dup_pairs,
+        review_pairs=review_pairs,
+        assignments=assignments,
+        clusters=clusters,
+        store=store,
+    )

@@ -1,0 +1,64 @@
+"""SparkSession factory: Arrow on, AQE + skew-join on, UTC, tuned shuffles.
+
+Local mode is the test harness; the same conf block is what we'd pass to
+``spark-submit`` on a multi-executor cluster (see scripts/submit.sh).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sift_kg_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for the dedup pipeline.
+
+    ``cores=None`` means: respect an existing master / spark-submit master,
+    defaulting to ``local[$SPARK_GRAFT_CPUS or *]`` when standalone.
+    """
+    if cores is None:
+        cores_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cores_env}]"
+    else:
+        master = f"local[{cores}]"
+
+    n_shuffle = shuffle_partitions
+    if n_shuffle is None:
+        try:
+            n_shuffle = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (cores or 32)
+        except ValueError:
+            n_shuffle = cores or 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        # AQE: runtime shuffle-partition coalescing + skew-join splitting —
+        # the built-in half of the north rule's skew handling (the explicit
+        # half is hot-band star reduction in operators/lsh.py).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Every Python touchpoint is an Arrow-batched pandas UDF.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if not os.environ.get("SPARK_GRAFT_KEEP_MASTER"):
+        builder = builder.master(master)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

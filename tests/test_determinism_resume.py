@@ -1,0 +1,66 @@
+"""Determinism under partitioning + checkpoint/resume (north-rule
+resumability contract)."""
+
+from __future__ import annotations
+
+import os
+
+from sift_kg_spark.config import DedupConfig
+from sift_kg_spark.fixtures import generate_corpus
+from sift_kg_spark.pipeline import run_dedup
+
+
+def _assignments_sorted(res) -> list[tuple]:
+    return sorted(
+        (r.url, r.cluster_id, r.canonical_url, r.cluster_size)
+        for r in res.assignments.collect()
+    )
+
+
+class TestDeterminism:
+    def test_partition_count_invariance(self, spark, cfg):
+        """Identical assignments at different input partitionings — every
+        tie-break in the pipeline is a total order (SURVEY.md §4)."""
+        pages_pdf, *_ = generate_corpus(150, seed=7)
+        pdf = pages_pdf.drop(columns=["true_text"])
+        a = run_dedup(spark, spark.createDataFrame(pdf).repartition(2), cfg)
+        b = run_dedup(spark, spark.createDataFrame(pdf).repartition(11), cfg)
+        assert _assignments_sorted(a) == _assignments_sorted(b)
+
+
+class TestResume:
+    def test_resume_skips_committed_stages(self, spark, cfg, tmp_path):
+        pages_pdf, *_ = generate_corpus(120, seed=9)
+        pages = spark.createDataFrame(pages_pdf.drop(columns=["true_text"]))
+        wd = str(tmp_path / "run1")
+
+        first = run_dedup(spark, pages, cfg, workdir=wd)
+        expected = _assignments_sorted(first)
+        manifests = set(os.listdir(os.path.join(wd, "_manifests")))
+        assert {"docs.json", "features.json", "candidates.json",
+                "dup_pairs.json", "assignments.json"} <= manifests
+
+        # simulate a mid-pipeline crash: the last two stages lost their commit
+        for name in ("assignments.json", "clusters.json"):
+            os.remove(os.path.join(wd, "_manifests", name))
+
+        resumed = run_dedup(spark, pages.limit(0), cfg, workdir=wd)
+        # pages input is EMPTY on resume: committed early stages must be
+        # read back, proving no upstream recompute happened
+        assert _assignments_sorted(resumed) == expected
+
+        # -- metrics + lineage recorded for the same run (one store run
+        # shared with the resume assertions to keep the suite fast) --
+        metrics = resumed.store.metrics()
+        lineage = resumed.store.lineage()
+        stages = {r.stage for r in lineage.collect()}
+        assert {"docs", "features", "candidates", "verified",
+                "dup_pairs", "assignments", "clusters"} <= stages
+        # per-partition rows recorded for each stage
+        m = metrics.toPandas()
+        assert {"partition_id", "rows", "stage", "run_id"} <= set(m.columns)
+        assert (m.groupby("stage")["rows"].sum() > 0).any()
+        # lineage records inputs per stage
+        lin = {r.stage: r.inputs for r in lineage.collect()}
+        assert "docs" in lin["features"]
+        assert "dup_pairs" in lin["assignments"]

@@ -35,7 +35,10 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
-from sift_kg_spark.functions.text import extract_text_py
+from sift_kg_spark.config import DEFAULT_CONFIG, DedupConfig
+from sift_kg_spark.functions import hashing as H
+from sift_kg_spark.functions.text import extract_text_py, normalize_text_py
+from sift_kg_spark.operators.suffix import longest_common_span
 
 _BASE_TS = np.datetime64("2024-01-01T00:00:00")
 
@@ -110,10 +113,64 @@ def page_text(title: str, nav: str, paras: list[str], footer: str) -> str:
     return "\n".join([title, nav, *paras, footer])
 
 
+def _pair_signals(
+    text_a: str, text_b: str, cfg: DedupConfig
+) -> tuple[float, int, int, int]:
+    """(jaccard, hamming, span, anchor_overlap) for two page texts,
+    computed with the SAME functions the engine uses — the generator
+    plants classes that are consistent with the configured decision
+    procedure, so the golden tables are ground truth *at this
+    shingle/signature config* (the recall clause of BASELINE.json).
+
+    ``anchor_overlap`` counts shared bottom-k anchors (the deterministic
+    candidate channel): planted pairs require >= 3 so their DISCOVERY
+    never depends on probabilistic LSH luck, only their judgment does.
+    """
+    from sift_kg_spark.operators.lsh import N_ANCHORS
+
+    na, nb = normalize_text_py(text_a), normalize_text_py(text_b)
+    th, off = H.tokenize_batch(pd.Series([na, nb]))
+    sets = H.shingle_sets(th, off, cfg.shingle_k)
+    a, b = sets[0], sets[1]
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = len(a) + len(b) - inter
+    j = inter / union if union else 0.0
+    sim = H.simhash64(th, off)
+    ham = int(bin(int(sim[0] ^ sim[1])).count("1"))
+    span = longest_common_span(na, nb)
+    # engine convention: anchors = first N of the int64-sorted shingle view
+    aa = np.sort(a.view(np.int64))[:N_ANCHORS]
+    bb = np.sort(b.view(np.int64))[:N_ANCHORS]
+    overlap = int(np.intersect1d(aa, bb, assume_unique=True).size)
+    return j, ham, span, overlap
+
+
+def _confirmable(j: float, ham: int, span: int, ov: int, cfg: DedupConfig) -> bool:
+    """Would the engine discover AND confirm this pair — with safety
+    margins, so engine-side estimation noise can never flip a planted
+    expectation."""
+    return ov >= 3 and (
+        j >= cfg.approve_jaccard + 0.03
+        or ham <= cfg.simhash_confirm_hamming - 1
+        or (span >= cfg.min_span_bytes + 30 and j >= cfg.reject_jaccard + 0.05)
+    )
+
+
+def _strictly_flagged(j: float, ham: int, span: int, ov: int, cfg: DedupConfig) -> bool:
+    return (
+        ov >= 3
+        and cfg.reject_jaccard + 0.05 <= j <= cfg.approve_jaccard - 0.05
+        and ham >= cfg.simhash_confirm_hamming + 2
+        and span <= cfg.min_span_bytes - 40
+    )
+
+
 class CorpusGenerator:
-    def __init__(self, n_pages: int, seed: int = 42) -> None:
+    def __init__(self, n_pages: int, seed: int = 42,
+                 cfg: DedupConfig = DEFAULT_CONFIG) -> None:
         self.n = n_pages
         self.rng = np.random.default_rng(seed)
+        self.cfg = cfg
         self.c = _Corpus()
         self._row_idx = 0
         self._family = 0
@@ -221,22 +278,38 @@ class CorpusGenerator:
         b = self._emit("d2", fam, 1, lang, variant, tpl)
         self._record_cluster([a, b])
 
+    def _full_text(self, sents: list[str], tpl: int) -> str:
+        """Signal-equivalent page text (normalization collapses the
+        paragraph/line structure, so a flat join is exact for signals)."""
+        title, nav, footer = _boilerplate(tpl)
+        return " ".join([title, nav, *sents, footer])
+
     def d3_near(self) -> None:
         fam = self._new_family()
         lang = self._lang()
         size = int(self.rng.integers(2, 4))
         sents = _sentences(self.rng, int(self.rng.integers(12, 40)))
         tpl = int(self.rng.integers(0, _BOILER_TEMPLATES))
+        base_text = self._full_text(sents, tpl)
         members = [self._emit("d3", fam, 0, lang, sents, tpl)]
         for m in range(1, size):
             rate = float(self.rng.uniform(0.01, 0.04))
-            var = self._mutate(sents, rate)
-            op = self.rng.random()
-            if op < 0.3 and len(var) > 6:
-                var = var[: len(var) // 2] + var[len(var) // 2 + 1 :]  # delete
-            elif op < 0.6:
-                pos = int(self.rng.integers(0, len(var)))
-                var = var[:pos] + _sentences(self.rng, 1) + var[pos:]  # insert
+            var = sents
+            # resample until the planted pair is confirmable under the
+            # configured thresholds (with margin) — see _pair_signals
+            for attempt in range(8):
+                var = self._mutate(sents, rate)
+                op = self.rng.random()
+                if attempt < 4:  # sentence-level ops only while roomy
+                    if op < 0.3 and len(var) > 10:
+                        var = var[: len(var) // 2] + var[len(var) // 2 + 1 :]
+                    elif op < 0.6:
+                        pos = int(self.rng.integers(0, len(var)))
+                        var = var[:pos] + _sentences(self.rng, 1) + var[pos:]
+                j, h, sp, ov = _pair_signals(base_text, self._full_text(var, tpl), self.cfg)
+                if _confirmable(j, h, sp, ov, self.cfg):
+                    break
+                rate /= 2
             members.append(self._emit("d3", fam, m, lang, var, tpl))
         self._record_cluster(members)
 
@@ -258,12 +331,22 @@ class CorpusGenerator:
         lang = self._lang()
         tpl = int(self.rng.integers(0, _BOILER_TEMPLATES))
         core = _sentences(self.rng, int(self.rng.integers(14, 30)))
-        a = self._emit("d5", fam, 0, lang, core, tpl)
+        base_text = self._full_text(core, tpl)
         extra_frac = float(self.rng.uniform(0.6, 1.2))
-        n_extra = max(2, int(len(core) * extra_frac))
-        pre = _sentences(self.rng, n_extra // 2)
-        post = _sentences(self.rng, n_extra - n_extra // 2)
-        b = self._emit("d5", fam, 1, lang, pre + core + post, tpl)
+        combined = core
+        for _attempt in range(8):
+            n_extra = max(2, int(len(core) * extra_frac))
+            pre = _sentences(self.rng, n_extra // 2)
+            post = _sentences(self.rng, n_extra - n_extra // 2)
+            combined = pre + core + post
+            j, h, sp, ov = _pair_signals(base_text, self._full_text(combined, tpl), self.cfg)
+            # containment must be confirmable (usually via the suffix span)
+            # AND similar enough for candidate generation to see the pair
+            if _confirmable(j, h, sp, ov, self.cfg) and j >= 0.38:
+                break
+            extra_frac *= 0.7  # too much padding -> shrink and retry
+        a = self._emit("d5", fam, 0, lang, core, tpl)
+        b = self._emit("d5", fam, 1, lang, combined, tpl)
         self._record_cluster([a, b])
 
     def d6_cross_lang(self) -> None:
@@ -280,14 +363,27 @@ class CorpusGenerator:
         lang = self._lang()
         tpl = int(self.rng.integers(0, _BOILER_TEMPLATES))
         sents = _sentences(self.rng, int(self.rng.integers(15, 30)))
-        a = self._emit("d7", fam, 0, lang, sents, tpl)
-        var = [
-            _sentences(self.rng, 1)[0] if i % 3 == 0 else s
-            for i, s in enumerate(sents)
-        ]
-        b = self._emit("d7", fam, 1, lang, var, tpl)
-        ua, ub = sorted((a["url"], b["url"]))
-        self.c.flagged.append({"url_a": ua, "url_b": ub})
+        base_text = self._full_text(sents, tpl)
+        # replace every k-th sentence (phase-shifted per attempt) until the
+        # pair sits strictly inside the DRAFT zone with margins on every
+        # signal — a planted flagged pair must never be confirmable
+        for attempt in range(8):
+            mod = (3, 2, 3, 2, 4, 2, 3, 2)[attempt]
+            phase = attempt % mod
+            var = [
+                _sentences(self.rng, 1)[0] if i % mod == phase else s
+                for i, s in enumerate(sents)
+            ]
+            j, h, sp, ov = _pair_signals(base_text, self._full_text(var, tpl), self.cfg)
+            if _strictly_flagged(j, h, sp, ov, self.cfg):
+                a = self._emit("d7", fam, 0, lang, sents, tpl)
+                b = self._emit("d7", fam, 1, lang, var, tpl)
+                ua, ub = sorted((a["url"], b["url"]))
+                self.c.flagged.append({"url_a": ua, "url_b": ub})
+                return
+        # could not plant a clean gray-zone pair from this draw: emit the
+        # base alone as a unique doc (no flagged expectation recorded)
+        self._emit("d0", fam, 0, lang, sents, tpl)
 
     def quarantine_row(self) -> None:
         fam = self._new_family()
@@ -311,10 +407,24 @@ class CorpusGenerator:
         lang = "en"
         tpl = 0
         sents = _sentences(self.rng, 30)
+        b_sents = sents
+        for _ in range(8):
+            b_sents = self._mutate(sents, 0.03)
+            j, h, sp, ov = _pair_signals(
+                self._full_text(sents, tpl), self._full_text(b_sents, tpl), self.cfg
+            )
+            if _confirmable(j, h, sp, ov, self.cfg):
+                break
+        c_sents = b_sents
+        for _ in range(8):
+            c_sents = self._mutate(b_sents, 0.03)
+            j, h, sp, ov = _pair_signals(
+                self._full_text(b_sents, tpl), self._full_text(c_sents, tpl), self.cfg
+            )
+            if _confirmable(j, h, sp, ov, self.cfg):
+                break
         a = self._emit("chain", fam, 0, lang, sents, tpl)
-        b_sents = self._mutate(sents, 0.03)
         b = self._emit("chain", fam, 1, lang, b_sents, tpl)
-        c_sents = self._mutate(b_sents, 0.03)
         c = self._emit("chain", fam, 2, lang, c_sents, tpl)
         self._record_cluster([a, b, c])
 

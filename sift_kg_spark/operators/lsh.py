@@ -79,12 +79,17 @@ def candidate_pairs(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
     if cfg.partition_by_lang:
         key_cols = ["lang", *key_cols]
 
-    sizes = keys.groupBy(*key_cols).agg(
-        F.count("*").alias("bucket_size"), F.min("url").alias("bucket_rep")
+    # Bucket sizes first; only multi-member buckets matter for pairing.
+    # Filtering BEFORE the join back shrinks the size table from
+    # O(total keys) (dominated by singleton buckets) to O(collisions) —
+    # small enough that AQE turns the join into a broadcast at bench
+    # scale, and orders of magnitude less shuffle at any scale.
+    sizes = (
+        keys.groupBy(*key_cols)
+        .agg(F.count("*").alias("bucket_size"), F.min("url").alias("bucket_rep"))
+        .filter(F.col("bucket_size") > 1)
     )
-    keyed = keys.join(sizes, on=key_cols, how="inner").filter(
-        F.col("bucket_size") > 1
-    )
+    keyed = keys.join(sizes, on=key_cols, how="inner")
 
     normal = keyed.filter(F.col("bucket_size") <= cfg.hot_band_cap)
     hot = keyed.filter(F.col("bucket_size") > cfg.hot_band_cap)
@@ -110,7 +115,7 @@ def candidate_pairs(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
         .when(F.col("channel") == "simchunk", 1)
         .otherwise(2)
     )
-    return (
+    collapsed = (
         pairs.withColumn("_rank", channel_rank)
         .groupBy("url_a", "url_b")
         .agg(
@@ -118,6 +123,15 @@ def candidate_pairs(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
             F.min(F.struct("_rank", "channel")).alias("_best"),
         )
         .select("url_a", "url_b", F.col("_best.channel").alias("channel"), "n_keys")
+    )
+    # Precision gate: a full MinHash band match (rows_per_band agreeing
+    # minima) is strong evidence on its own; an anchor or simchunk pair
+    # needs >= 2 co-firing keys. A single shared shingle between unrelated
+    # docs is common at corpus scale and was the dominant junk-pair source;
+    # true containment pairs share ~k*|A|/|B| of their bottom-k anchors,
+    # so requiring 2 keeps them (verified by the D5 recall gate).
+    return collapsed.filter(
+        (F.col("channel") == "minhash") | (F.col("n_keys") >= 2)
     )
 
 

@@ -88,18 +88,56 @@ def prepare_docs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def split_quarantine(
-    docs: DataFrame, cfg: DedupConfig
-) -> tuple[DataFrame, DataFrame]:
-    """Near-empty / failed-extraction quarantine (reference: avg chars/page
-    thresholds, ingest/kreuzberg_extractor.py:44-45; errored extractions
-    skipped, graph/prededup.py:92-93). Quarantined rows never merge."""
+def prepare_stage(pages: DataFrame, cfg: DedupConfig, n_partitions: int) -> DataFrame:
+    """One pass over the raw pages: extraction + normalization + the
+    quarantine verdict, slim-projected.
+
+    Near-empty / failed-extraction quarantine mirrors the reference's
+    thresholds (ingest/kreuzberg_extractor.py:44-45; errored extractions
+    skipped, graph/prededup.py:92-93); quarantined rows carry a non-null
+    ``reason`` and never merge.
+
+    The input is repartitioned first: a raw crawl dump often arrives as a
+    few large files, and the extraction UDF chain is narrow — without the
+    explicit exchange it would run at the file parallelism, not the
+    cluster's. html/text are dropped once text_norm exists (every
+    downstream stage reads text_norm/n_chars only), so the materialized
+    stage is a third the size of the raw input.
+    """
+    docs = prepare_docs(pages.repartition(n_partitions), cfg)
     is_bad = (
         F.col("text").isNull()
         | (F.length(F.trim(F.col("text"))) < cfg.min_text_chars)
     )
-    good = docs.filter(~is_bad).withColumn(
-        "sha", F.sha2(F.col("text_norm"), 256)
+    reason = F.when(
+        is_bad,
+        F.when(F.col("text").isNull(), "extraction_failed").otherwise("near_empty"),
+    )
+    return docs.select(
+        "url",
+        "lang",
+        "text_norm",
+        "n_chars",
+        F.sha2(F.col("text_norm"), 256).alias("sha"),
+        reason.alias("reason"),
+    )
+
+
+def split_quarantine(
+    docs: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Back-compat helper over prepare_stage output semantics (used by
+    tests and ad-hoc callers that start from prepare_docs output)."""
+    is_bad = (
+        F.col("text").isNull()
+        | (F.length(F.trim(F.col("text"))) < cfg.min_text_chars)
+    )
+    good = docs.filter(~is_bad).select(
+        "url",
+        "lang",
+        "text_norm",
+        "n_chars",
+        F.sha2(F.col("text_norm"), 256).alias("sha"),
     )
     quarantine = docs.filter(is_bad).select(
         "url",
@@ -130,29 +168,37 @@ def run_dedup(
             return build().persist()
         return store.stage(name, build, inputs=inputs, resume=resume)
 
-    docs = commit("docs", lambda: split_quarantine(prepare_docs(pages, cfg), cfg)[0], ("pages",))
-    quarantine = commit(
-        "quarantine",
-        lambda: split_quarantine(prepare_docs(pages, cfg), cfg)[1],
-        ("pages",),
+    n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    prepared = commit(
+        "prepared", lambda: prepare_stage(pages, cfg, n_partitions), ("pages",)
+    )
+    docs = prepared.filter(F.col("reason").isNull()).drop("reason")
+    quarantine = prepared.filter(F.col("reason").isNotNull()).select(
+        "url", "lang", "reason"
     )
 
     exact_pairs = commit(
-        "exact_pairs", lambda: exact_dup_pairs(docs, cfg), ("docs",)
+        "exact_pairs", lambda: exact_dup_pairs(docs, cfg), ("prepared",)
     )
 
     features_udf = make_features_udf(cfg)
 
     def build_features() -> DataFrame:
         reps = exact_representatives(docs, cfg)
+        # Slim projection: the 128-element minhash vector exists only to
+        # derive the band keys inside the UDF; materializing it would be
+        # the single largest column in the stage for no downstream reader.
         return reps.select(
             "url",
             "lang",
             "n_chars",
             features_udf(F.col("text_norm")).alias("f"),
-        ).select("url", "lang", "n_chars", "f.*")
+        ).select(
+            "url", "lang", "n_chars",
+            "f.n_tokens", "f.shingles", "f.bands", "f.simhash", "f.simchunks",
+        )
 
-    features = commit("features", build_features, ("docs",))
+    features = commit("features", build_features, ("prepared",))
 
     def build_candidates() -> DataFrame:
         keys = explode_keys(features, cfg)
@@ -186,7 +232,7 @@ def run_dedup(
         ).select("url_a", "url_b", "text_a", "text_b")
         return confirm_spans(flagged_texts, cfg)
 
-    spans = commit("spans", build_spans, ("verified", "docs"))
+    spans = commit("spans", build_spans, ("verified", "prepared"))
 
     def build_pairs() -> DataFrame:
         scored = verified.join(spans, ["url_a", "url_b"], "left")
@@ -239,7 +285,7 @@ def run_dedup(
             .select("url", "cluster_id", "canonical_url", "cluster_size")
         )
 
-    assignments = commit("assignments", build_assignments, ("dup_pairs", "docs"))
+    assignments = commit("assignments", build_assignments, ("dup_pairs", "prepared"))
 
     def build_clusters() -> DataFrame:
         return assignments.groupBy("cluster_id").agg(

@@ -37,7 +37,7 @@ class TestResume:
         first = run_dedup(spark, pages, cfg, workdir=wd)
         expected = _assignments_sorted(first)
         manifests = set(os.listdir(os.path.join(wd, "_manifests")))
-        assert {"docs.json", "features.json", "candidates.json",
+        assert {"prepared.json", "features.json", "candidates.json",
                 "dup_pairs.json", "assignments.json"} <= manifests
 
         # simulate a mid-pipeline crash: the last two stages lost their commit
@@ -54,7 +54,7 @@ class TestResume:
         metrics = resumed.store.metrics()
         lineage = resumed.store.lineage()
         stages = {r.stage for r in lineage.collect()}
-        assert {"docs", "features", "candidates", "verified",
+        assert {"prepared", "features", "candidates", "verified",
                 "dup_pairs", "assignments", "clusters"} <= stages
         # per-partition rows recorded for each stage
         m = metrics.toPandas()
@@ -62,5 +62,5 @@ class TestResume:
         assert (m.groupby("stage")["rows"].sum() > 0).any()
         # lineage records inputs per stage
         lin = {r.stage: r.inputs for r in lineage.collect()}
-        assert "docs" in lin["features"]
+        assert "prepared" in lin["features"]
         assert "dup_pairs" in lin["assignments"]

@@ -99,14 +99,19 @@ class TestSimHash:
         assert ham(0, 1) < ham(0, 2)
         assert ham(0, 1) <= 6
 
-    def test_chunk_pigeonhole(self):
-        """Hamming < n_chunks => at least one shared chunk key (the
-        deterministic guarantee explode_keys relies on)."""
+    def test_chunk_pair_pigeonhole(self):
+        """Hamming <= n_chunks - 2 => at least one shared chunk-pair key
+        (the deterministic guarantee explode_keys relies on)."""
         sim = np.array([0x0123456789ABCDEF], dtype=np.uint64)
-        flipped = sim ^ np.uint64(0b101)  # hamming 2 within chunk 0
+        flipped = sim ^ np.uint64(0b101)  # hamming 2, both within chunk 0
         c1 = H.simhash_chunks(sim, CFG.simhash_chunks)[0]
         c2 = H.simhash_chunks(flipped, CFG.simhash_chunks)[0]
-        assert (c1 == c2).sum() == CFG.simhash_chunks - 1
+        # chunk 0 dirty -> the 3 pair-keys touching it differ, 3 survive
+        assert (c1 == c2).sum() == 3
+        # worst case: hamming n_chunks-2 spread over distinct chunks
+        spread = sim ^ np.uint64((1 << 0) | (1 << 16))  # chunks 0 and 1 dirty
+        c3 = H.simhash_chunks(spread, CFG.simhash_chunks)[0]
+        assert (c1 == c3).sum() >= 1  # pair (2,3) still clean
 
 
 class TestShingles:

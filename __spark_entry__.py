@@ -432,6 +432,172 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cc_chain_components"] = cc_chain_components
 
+    # ---- reference operator analogs: search / joins / sets / graph --------
+
+    def search_pages(spark, sf):
+        # F5: case-insensitive substring search over name+alias analog
+        d = _t(spark, sf, "documents")
+        return d.filter(
+            F.lower(F.col("text")).contains("table") & (F.col("lang") == "en")
+        ).select("doc_id", "source", "n_chars")
+
+    q["search_pages"] = search_pages
+
+    def cross_lang_block_dups(spark, sf):
+        # J7: exact-key match across partitions (reference: same name across
+        # entity types, resolver.py:190-245) -> blocks spanning >= 2 langs
+        d = _t(spark, sf, "documents").withColumn(
+            "block",
+            F.md5(F.expr("array_join(slice(split(trim(text), '\\\\s+'), 1, 2), ' ')")),
+        )
+        return (
+            d.groupBy("block")
+            .agg(
+                F.countDistinct("lang").alias("n_langs"),
+                F.count("*").alias("n_docs"),
+                F.min("doc_id").alias("canonical_doc_id"),
+            )
+            .filter(F.col("n_langs") >= 2)
+        )
+
+    q["cross_lang_block_dups"] = cross_lang_block_dups
+
+    def edge_rewrite_self_loop_drop(spark, sf):
+        # J8+G6: rewrite edge endpoints through the member->canonical map,
+        # drop self-loops, collapse parallel edges with support counts
+        # (engine.py:34-76; knowledge_graph.py:176-263)
+        d = _t(spark, sf, "documents").withColumn(
+            "block",
+            F.md5(F.expr("array_join(slice(split(trim(text), '\\\\s+'), 1, 2), ' ')")),
+        )
+        w = Window.partitionBy("block").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        assign = d.withColumn("canonical_doc_id", F.first("doc_id").over(w)).select(
+            "doc_id", "canonical_doc_id"
+        )
+        mx = _t(spark, sf, "documents").agg(F.max("doc_id")).collect()[0][0]
+        edges = (
+            _t(spark, sf, "documents")
+            .filter((F.col("doc_id") % 7 < 2) & (F.col("doc_id") < mx))
+            .select(
+                F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+            )
+        )
+        a_src = assign.select(
+            F.col("doc_id").alias("src"), F.col("canonical_doc_id").alias("new_src")
+        )
+        a_dst = assign.select(
+            F.col("doc_id").alias("dst"), F.col("canonical_doc_id").alias("new_dst")
+        )
+        return (
+            edges.join(a_src, "src")
+            .join(a_dst, "dst")
+            .filter(F.col("new_src") != F.col("new_dst"))
+            .groupBy("new_src", "new_dst")
+            .agg(F.count("*").alias("support_count"))
+        )
+
+    q["edge_rewrite_self_loop_drop"] = edge_rewrite_self_loop_drop
+
+    def max_value_event_per_user(spark, sf):
+        # A2: keep the max-confidence mention per key (extractor.py:291-316)
+        return (
+            _t(spark, sf, "events")
+            .groupBy("user_id")
+            .agg(
+                F.max_by("event_id", F.struct("value", "event_id")).alias(
+                    "best_event_id"
+                ),
+                F.round(F.max("value"), 6).alias("max_value"),
+            )
+        )
+
+    q["max_value_event_per_user"] = max_value_event_per_user
+
+    def user_event_type_sets(spark, sf):
+        # U1/A3: alias/source-document set union on merge
+        return (
+            _t(spark, sf, "events")
+            .groupBy("user_id")
+            .agg(
+                F.sort_array(F.collect_set("event_type")).alias("event_types"),
+                F.size(F.collect_set("event_type")).alias("n_types"),
+            )
+        )
+
+    q["user_event_type_sets"] = user_event_type_sets
+
+    def slugify_sources(spark, sf):
+        # X4: entity-id slugification (builder.py:26-38): lowercase ASCII,
+        # non-alnum -> '_', collapse repeats, 'type:slug'
+        d = _t(spark, sf, "documents")
+        slug = F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("source")), "[^a-z0-9]+", "_"),
+            "^_+|_+$",
+            "",
+        )
+        return d.select(
+            "doc_id",
+            F.concat(F.col("lang"), F.lit(":"), slug).alias("slug_id"),
+        )
+
+    q["slugify_sources"] = slugify_sources
+
+    def isolated_docs(spark, sf):
+        # G4: degree-0 nodes = docs on neither end of any chain edge
+        d = _t(spark, sf, "documents").select("doc_id")
+        mx = d.agg(F.max("doc_id")).collect()[0][0]
+        edges = d.filter((F.col("doc_id") % 10 < 3) & (F.col("doc_id") < mx)).select(
+            F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+        )
+        endpoints = edges.select(F.col("src").alias("doc_id")).unionByName(
+            edges.select(F.col("dst").alias("doc_id"))
+        )
+        return d.join(endpoints, "doc_id", "left_anti")
+
+    q["isolated_docs"] = isolated_docs
+
+    def two_hop_neighbors(spark, sf):
+        # G5: ego-subgraph BFS depth 2 from seed nodes (communities.py:292-376)
+        d = _t(spark, sf, "documents").select("doc_id")
+        mx = d.agg(F.max("doc_id")).collect()[0][0]
+        edges = d.filter((F.col("doc_id") % 10 < 3) & (F.col("doc_id") < mx)).select(
+            F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+        )
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        seeds = d.filter(F.col("doc_id") % 100 == 0).select(
+            F.col("doc_id").alias("seed")
+        )
+        hop1 = seeds.join(sym, seeds.seed == sym.src).select(
+            "seed", F.col("dst").alias("node")
+        )
+        hop2 = hop1.join(sym, hop1.node == sym.src).select(
+            "seed", F.col("dst").alias("node")
+        )
+        return (
+            hop1.unionByName(hop2)
+            .filter(F.col("node") != F.col("seed"))
+            .distinct()
+        )
+
+    q["two_hop_neighbors"] = two_hop_neighbors
+
+    def binary_payload_stats(spark, sf):
+        # multimodal plumbing: opaque binary column + typed metadata
+        # (byte length, magic-byte sniff) — decode itself is stubbed in
+        # sift_kg_spark.functions.multimodal
+        d = _t(spark, sf, "documents").withColumn(
+            "payload", F.encode(F.col("text"), "UTF-8")
+        )
+        return d.select(
+            "doc_id",
+            F.octet_length("payload").alias("n_bytes"),
+            (F.octet_length("payload") - F.length("text")).alias("multibyte_overhead"),
+        )
+
+    q["binary_payload_stats"] = binary_payload_stats
+
     # ---- dedup pipeline stages (rows-only: not SQL-expressible) -----------
 
     def dedup_lsh_candidates(spark, sf):
@@ -445,8 +611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = pages.withColumn("text_norm", normalize_text_udf("text"))
         udf = make_features_udf(cfg)
         feats = docs.select(
-            "url", "lang", udf(F.col("text_norm")).alias("f")
-        ).select("url", "lang", "f.*")
+            F.xxhash64("url").alias("doc_uid"),
+            "lang",
+            udf(F.col("text_norm")).alias("f"),
+        ).select("doc_uid", "lang", "f.*")
         return candidate_pairs(explode_keys(feats, cfg), cfg)
 
     q["dedup_lsh_candidates"] = dedup_lsh_candidates
@@ -681,6 +849,100 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
         )
         SELECT node, min(label) AS component FROM reach GROUP BY node
+    """
+
+    o["search_pages"] = """
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE lower(text) LIKE '%table%' AND lang = 'en'
+    """
+
+    o["cross_lang_block_dups"] = """
+        SELECT md5(array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:2], ' ')) AS block,
+               count(DISTINCT lang) AS n_langs,
+               count(*) AS n_docs,
+               min(doc_id) AS canonical_doc_id
+        FROM documents GROUP BY 1 HAVING count(DISTINCT lang) >= 2
+    """
+
+    o["edge_rewrite_self_loop_drop"] = """
+        WITH blocked AS (
+            SELECT doc_id,
+                   first_value(doc_id) OVER (
+                       PARTITION BY md5(array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:2], ' '))
+                       ORDER BY n_chars DESC, doc_id ASC
+                   ) AS canonical_doc_id
+            FROM documents
+        ), mx AS (SELECT max(doc_id) AS m FROM documents),
+        edges AS (
+            SELECT doc_id AS src, doc_id + 1 AS dst
+            FROM documents, mx WHERE doc_id % 7 < 2 AND doc_id < mx.m
+        )
+        SELECT a.canonical_doc_id AS new_src, b.canonical_doc_id AS new_dst,
+               count(*) AS support_count
+        FROM edges
+        JOIN blocked a ON edges.src = a.doc_id
+        JOIN blocked b ON edges.dst = b.doc_id
+        WHERE a.canonical_doc_id <> b.canonical_doc_id
+        GROUP BY 1, 2
+    """
+
+    o["max_value_event_per_user"] = """
+        WITH ranked AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT user_id, event_id AS best_event_id,
+               round((SELECT max(value) FROM events e2 WHERE e2.user_id = ranked.user_id), 6) AS max_value
+        FROM ranked WHERE rn = 1
+    """
+
+    o["user_event_type_sets"] = """
+        SELECT user_id,
+               list_sort(list(DISTINCT event_type)) AS event_types,
+               CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
+        FROM events GROUP BY user_id
+    """
+
+    o["slugify_sources"] = """
+        SELECT doc_id,
+               lang || ':' || regexp_replace(regexp_replace(lower(source), '[^a-z0-9]+', '_', 'g'), '^_+|_+$', '', 'g') AS slug_id
+        FROM documents
+    """
+
+    o["isolated_docs"] = """
+        WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        edges AS (
+            SELECT doc_id AS src, doc_id + 1 AS dst
+            FROM documents, mx WHERE doc_id % 10 < 3 AND doc_id < mx.m
+        ),
+        endpoints AS (SELECT src AS doc_id FROM edges UNION SELECT dst FROM edges)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM endpoints)
+    """
+
+    o["two_hop_neighbors"] = """
+        WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        edges AS (
+            SELECT doc_id AS src, doc_id + 1 AS dst
+            FROM documents, mx WHERE doc_id % 10 < 3 AND doc_id < mx.m
+        ),
+        sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        seeds AS (SELECT doc_id AS seed FROM documents WHERE doc_id % 100 = 0),
+        hop1 AS (SELECT seed, dst AS node FROM seeds JOIN sym ON seed = src),
+        hop2 AS (SELECT seed, s.dst AS node FROM hop1 JOIN sym s ON hop1.node = s.src)
+        SELECT DISTINCT seed, node
+        FROM (SELECT * FROM hop1 UNION ALL SELECT * FROM hop2)
+        WHERE node <> seed
+    """
+
+    o["binary_payload_stats"] = """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               CAST(octet_length(encode(text)) - length(text) AS INT) AS multibyte_overhead
+        FROM documents
     """
 
     # dedup_lsh_candidates / dedup_full_pipeline: intentionally no oracle —

@@ -30,8 +30,16 @@ from sift_kg_spark.functions import hashing as H
 FEATURE_SCHEMA = (
     "n_tokens int, n_shingles int, shingles array<bigint>, "
     "minhash array<bigint>, bands array<bigint>, simhash bigint, "
-    "simchunks array<bigint>"
+    "simchunks array<bigint>, keys array<bigint>"
 )
+
+# channel tag in the low 2 bits of every packed blocking key
+CHANNEL_MINHASH = 0
+CHANNEL_SIMCHUNK = 1
+CHANNEL_ANCHOR = 2
+N_ANCHORS = 8
+
+_ANCHOR_SEED = np.uint64(0xA5C0_11EC_7ED0_0001)
 
 
 def compute_features_pdf(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
@@ -45,15 +53,33 @@ def compute_features_pdf(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
     chunks = H.simhash_chunks(sim, cfg.simhash_chunks)
 
     n_tokens = np.diff(offsets).astype(np.int32)
+    sorted_shingles = [np.sort(s.view(np.int64)) for s in sets]
+
+    # Packed blocking keys: one int64 per key, channel tag in the low
+    # 2 bits — the whole candidate exchange then shuffles a single long
+    # column instead of (channel string, key_id, hash) triples.
+    def _pack(arr: np.ndarray, channel: int) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return ((arr & ~np.uint64(3)) | np.uint64(channel)).view(np.int64)
+
+    band_keys = _pack(bands.view(np.uint64), CHANNEL_MINHASH)
+    chunk_keys = _pack(chunks.view(np.uint64), CHANNEL_SIMCHUNK)
+    keys = []
+    for i in range(len(sets)):
+        anchors = sorted_shingles[i][:N_ANCHORS].view(np.uint64)
+        anchor_keys = _pack(H.mix64(anchors ^ _ANCHOR_SEED), CHANNEL_ANCHOR)
+        keys.append(np.concatenate([band_keys[i], chunk_keys[i], anchor_keys]))
+
     return pd.DataFrame(
         {
             "n_tokens": n_tokens,
             "n_shingles": np.array([len(s) for s in sets], dtype=np.int32),
-            "shingles": [np.sort(s.view(np.int64)) for s in sets],
+            "shingles": sorted_shingles,
             "minhash": list(sig.view(np.int64)),
             "bands": list(bands.view(np.int64)),
             "simhash": sim.view(np.int64),
             "simchunks": list(chunks.view(np.int64)),
+            "keys": keys,
         }
     )
 

@@ -56,6 +56,16 @@ def connected_components(
     )
     sym = sym.localCheckpoint(eager=True)
 
+    # Size the iteration shuffles to the GRAPH, not the cluster default:
+    # the dup-pair graph is orders of magnitude smaller than the corpus
+    # (only docs with candidate edges appear), and per-iteration task
+    # scheduling dominates when a 40k-edge graph runs 32-way. ~200k edges
+    # per partition keeps tasks meaningful at any scale.
+    n_edges = sym.count()
+    spark = sym.sparkSession
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    cc_parts = max(1, min(int(old_shuffle), n_edges // 200_000 + 1))
+
     labels = (
         sym.select(F.col("src").alias("url"))
         .distinct()
@@ -63,26 +73,33 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iterations):
-        msgs = (
-            sym.join(labels, sym.src == labels.url, "inner")
-            .select(F.col("dst").alias("url"), "label")
-        )
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("url")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "url")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    from pyspark.sql import Observation
+
+    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+
+    try:
+        for _ in range(max_iterations):
+            nbr_min = (
+                sym.join(labels, sym.src == labels.url, "inner")
+                .groupBy(F.col("dst").alias("url"))
+                .agg(F.min("label").alias("nbr"))
+            )
+            obs = Observation()
+            updated = (
+                labels.join(nbr_min, "url", "left")
+                .select(
+                    "url",
+                    F.least(F.col("label"), F.coalesce("nbr", "label")).alias("label"),
+                    (F.col("nbr") < F.col("label")).cast("long").alias("_chg"),
+                )
+                # change count rides on the checkpoint action via
+                # Observation — no separate convergence-check job per round
+                .observe(obs, F.sum("_chg").alias("n_changed"))
+            )
+            labels = updated.drop("_chg").localCheckpoint(eager=True)
+            if not obs.get["n_changed"]:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
 
     return labels.select("url", F.col("label").alias("cluster_id"))

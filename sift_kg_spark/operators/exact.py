@@ -66,11 +66,11 @@ def exact_representatives(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     the band exchange.
     """
     group_cols = ["sha", "lang"] if cfg.partition_by_lang else ["sha"]
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(F.col("url"))
+    # min_by aggregation, not a window: partial (map-side) aggregation
+    # applies, and no per-group sort is needed — the representative is the
+    # min-url row (total order, deterministic).
     return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        docs.groupBy(*group_cols)
+        .agg(F.min_by(F.struct(*docs.columns), F.col("url")).alias("_rep"))
+        .select("_rep.*")
     )

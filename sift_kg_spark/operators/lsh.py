@@ -4,21 +4,30 @@ Replaces the reference's blocking strategies (sorted sliding windows
 100/20 at /root/reference/src/sift_kg/resolve/resolver.py:248-269, KMeans
 clusters at resolve/clustering.py:23-92, SemHash at graph/prededup.py:
 120-139) with three deterministic key channels, all flowing through ONE
-shuffle exchange:
+shuffle exchange of a single packed int64 key column (channel tag in the
+low 2 bits, packed inside the signature UDF):
 
-  * ``minhash`` — LSH band keys: P[pair in >=1 band] = 1-(1-J^r)^b
-    (probabilistic recall channel; b=32, r=4 by default).
-  * ``simchunk`` — SimHash chunk keys: pigeonhole-deterministic for pairs
-    with Hamming < n_chunks.
-  * ``anchor``  — bottom-k shingle anchors: containment channel — if
-    A ⊆ B, P[B's k smallest shingles all miss A] ≈ (1-|A|/|B|)^k.
+  * ``minhash``  (tag 0) — LSH band keys: P[pair in >=1 band] =
+    1-(1-J^r)^b (probabilistic recall channel; b=32, r=4 by default).
+  * ``simchunk`` (tag 1) — SimHash chunk-pair keys: pigeonhole-
+    deterministic for pairs with Hamming <= n_chunks-2.
+  * ``anchor``   (tag 2) — bottom-k shingle anchors: containment channel —
+    if A ⊆ B, P[bottom-k sketches disjoint] ≈ (1-|A|/|B|)^k.
 
 Skew handling (north rule, explicit half): a boilerplate-heavy corpus makes
 some band keys enormous. Bucket sizes are computed first
-(groupBy(key).count()); buckets over ``hot_band_cap`` switch from all-pairs
-(O(n^2)) to STAR pairing against the bucket's min-url member (O(n)),
-preserving intra-bucket connectivity for true dup families while bounding
-pair volume. AQE skew-join splitting (session.py) is the built-in half.
+(groupBy(key).count(), map-side partial agg) and filtered to actual
+collisions BEFORE joining back — the collision table is orders of
+magnitude smaller than the key table, so AQE turns the join back into a
+broadcast. Buckets over ``hot_band_cap`` switch from all-pairs (O(n^2)) to
+STAR pairing against the bucket's min-url member (O(n)), preserving
+intra-bucket connectivity for true dup families while bounding pair
+volume. AQE skew-join splitting (session.py) is the built-in half.
+
+Precision gate: a full MinHash band match is strong evidence on its own;
+anchor/simchunk pairs must co-fire >= 2 keys (a single shared shingle
+between unrelated docs is common at corpus scale and was the dominant
+junk-pair source).
 """
 
 from __future__ import annotations
@@ -27,66 +36,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sift_kg_spark.config import DedupConfig
+from sift_kg_spark.functions.features import (  # noqa: F401 (re-export)
+    CHANNEL_MINHASH,
+    N_ANCHORS,
+)
 
-N_ANCHORS = 8
+def _channel_name():
+    return (
+        F.when(F.col("channel_tag") == 0, "minhash")
+        .when(F.col("channel_tag") == 1, "simchunk")
+        .otherwise("anchor")
+    )
 
 
 def explode_keys(features: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(url, lang, channel, key_id, key_hash) — one row per blocking key.
+    """(doc_uid, lang, key) — one row per packed blocking key.
 
-    ``posexplode`` keeps the key index so identical hashes in different
-    band positions never alias (the band seed already guarantees this for
-    minhash bands; keeping key_id also aids skew diagnostics in metrics).
-    """
-    base = features.select("url", "lang", "bands", "simchunks", "shingles")
-
-    band_keys = base.select(
-        "url",
-        "lang",
-        F.lit("minhash").alias("channel"),
-        F.posexplode("bands").alias("key_id", "key_hash"),
+    The exchange ships the compact int64 doc_uid, not the url string —
+    the key table is the largest shuffle in the pipeline and the id swap
+    cuts its row width ~4x."""
+    return features.select(
+        "doc_uid", "lang", F.explode("keys").alias("key")
     )
-    chunk_keys = base.select(
-        "url",
-        "lang",
-        F.lit("simchunk").alias("channel"),
-        F.posexplode("simchunks").alias("key_id", "key_hash"),
-    )
-    # bottom-k shingle anchors: shingles are stored sorted (int64 bit-view of
-    # uint64 — int64 order differs from uint64 order, but ANY deterministic
-    # order works: "bottom-k" just needs to pick the same k elements of the
-    # set on both sides, and slicing the sorted array does).
-    # NOTE: anchors match by VALUE (a shared rare shingle), not by position —
-    # key_id is constant 0, unlike the positional band/chunk channels.
-    anchor_keys = base.select(
-        "url",
-        "lang",
-        F.lit("anchor").alias("channel"),
-        F.lit(0).alias("key_id"),
-        F.explode(F.slice("shingles", 1, N_ANCHORS)).alias("key_hash"),
-    )
-    return band_keys.unionByName(chunk_keys).unionByName(anchor_keys)
 
 
 def candidate_pairs(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Distinct (url_a < url_b) candidate pairs from the key exchange.
+    """Distinct (uid_a < uid_b) candidate pairs from the key exchange.
 
-    Returns columns: url_a, url_b, channel (first channel that produced the
-    pair, by fixed channel precedence), n_keys (how many keys co-fired —
-    a useful similarity prior and skew diagnostic).
+    Returns: uid_a, uid_b, channel (strongest channel that produced the
+    pair), n_keys (co-firing key count — similarity prior + skew metric).
     """
-    key_cols = ["channel", "key_id", "key_hash"]
-    if cfg.partition_by_lang:
-        key_cols = ["lang", *key_cols]
+    key_cols = ["lang", "key"] if cfg.partition_by_lang else ["key"]
 
-    # Bucket sizes first; only multi-member buckets matter for pairing.
-    # Filtering BEFORE the join back shrinks the size table from
-    # O(total keys) (dominated by singleton buckets) to O(collisions) —
-    # small enough that AQE turns the join into a broadcast at bench
-    # scale, and orders of magnitude less shuffle at any scale.
     sizes = (
         keys.groupBy(*key_cols)
-        .agg(F.count("*").alias("bucket_size"), F.min("url").alias("bucket_rep"))
+        .agg(F.count("*").alias("bucket_size"), F.min("doc_uid").alias("bucket_rep"))
         .filter(F.col("bucket_size") > 1)
     )
     keyed = keys.join(sizes, on=key_cols, how="inner")
@@ -94,42 +78,34 @@ def candidate_pairs(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
     normal = keyed.filter(F.col("bucket_size") <= cfg.hot_band_cap)
     hot = keyed.filter(F.col("bucket_size") > cfg.hot_band_cap)
 
-    left = normal.select(*key_cols, F.col("url").alias("url_a"))
-    right = normal.select(*key_cols, F.col("url").alias("url_b"))
+    left = normal.select(*key_cols, F.col("doc_uid").alias("uid_a"))
+    right = normal.select(*key_cols, F.col("doc_uid").alias("uid_b"))
     all_pairs = left.join(right, on=key_cols, how="inner").filter(
-        F.col("url_a") < F.col("url_b")
+        F.col("uid_a") < F.col("uid_b")
     )
 
-    star_pairs = hot.filter(F.col("url") != F.col("bucket_rep")).select(
+    star_pairs = hot.filter(F.col("doc_uid") != F.col("bucket_rep")).select(
         *key_cols,
-        F.least("url", "bucket_rep").alias("url_a"),
-        F.greatest("url", "bucket_rep").alias("url_b"),
+        F.least("doc_uid", "bucket_rep").alias("uid_a"),
+        F.greatest("doc_uid", "bucket_rep").alias("uid_b"),
     )
 
-    pairs = all_pairs.select("url_a", "url_b", "channel").unionByName(
-        star_pairs.select("url_a", "url_b", "channel")
-    )
-    # Collapse the multi-band / multi-channel multiplicity in one hash agg.
-    channel_rank = (
-        F.when(F.col("channel") == "minhash", 0)
-        .when(F.col("channel") == "simchunk", 1)
-        .otherwise(2)
+    pairs = all_pairs.select("uid_a", "uid_b", "key").unionByName(
+        star_pairs.select("uid_a", "uid_b", "key")
     )
     collapsed = (
-        pairs.withColumn("_rank", channel_rank)
-        .groupBy("url_a", "url_b")
+        pairs.withColumn(
+            "channel_tag", (F.col("key").bitwiseAND(F.lit(3))).cast("int")
+        )
+        .groupBy("uid_a", "uid_b")
         .agg(
             F.count("*").alias("n_keys"),
-            F.min(F.struct("_rank", "channel")).alias("_best"),
+            F.min("channel_tag").alias("channel_tag"),
         )
-        .select("url_a", "url_b", F.col("_best.channel").alias("channel"), "n_keys")
+        .withColumn("channel", _channel_name())
+        .drop("channel_tag")
+        .select("uid_a", "uid_b", "channel", "n_keys")
     )
-    # Precision gate: a full MinHash band match (rows_per_band agreeing
-    # minima) is strong evidence on its own; an anchor or simchunk pair
-    # needs >= 2 co-firing keys. A single shared shingle between unrelated
-    # docs is common at corpus scale and was the dominant junk-pair source;
-    # true containment pairs share ~k*|A|/|B| of their bottom-k anchors,
-    # so requiring 2 keeps them (verified by the D5 recall gate).
     return collapsed.filter(
         (F.col("channel") == "minhash") | (F.col("n_keys") >= 2)
     )
@@ -138,12 +114,14 @@ def candidate_pairs(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
 def bucket_size_histogram(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Skew diagnostic for the metrics table: bucket-size distribution per
     channel (log2 buckets)."""
-    key_cols = ["channel", "key_id", "key_hash"]
-    if cfg.partition_by_lang:
-        key_cols = ["lang", *key_cols]
+    key_cols = ["lang", "key"] if cfg.partition_by_lang else ["key"]
     return (
         keys.groupBy(*key_cols)
         .count()
+        .withColumn(
+            "channel_tag", (F.col("key").bitwiseAND(F.lit(3))).cast("int")
+        )
+        .withColumn("channel", _channel_name())
         .withColumn("log2_size", F.floor(F.log2("count")))
         .groupBy("channel", "log2_size")
         .agg(F.count("*").alias("n_buckets"), F.sum("count").alias("n_keys"))

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 
 from sift_kg_spark.config import DedupConfig
 
-SPAN_SCHEMA = "url_a string, url_b string, span int"
+SPAN_SCHEMA = "uid_a long, uid_b long, span int"
 
 
 def suffix_array(s: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -104,9 +104,9 @@ def longest_common_span(a: str, b: str, cap: int = 2_000_000) -> int:
 def confirm_spans(
     flagged_with_texts: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
-    """(url_a, url_b, span) for flagged pairs, via mapInPandas.
+    """(uid_a, uid_b, span) for flagged pairs, via mapInPandas.
 
-    Input columns: url_a, url_b, text_a, text_b (normalized texts).
+    Input columns: uid_a, uid_b, text_a, text_b (normalized texts).
     """
     cap = cfg.max_span_doc_bytes
 
@@ -118,8 +118,8 @@ def confirm_spans(
             ]
             yield pd.DataFrame(
                 {
-                    "url_a": pdf["url_a"],
-                    "url_b": pdf["url_b"],
+                    "uid_a": pdf["uid_a"],
+                    "uid_b": pdf["uid_b"],
                     "span": pd.array(spans, dtype="int32"),
                 }
             )

@@ -21,6 +21,9 @@ Decision (cfg thresholds; see config.py for the mapping rationale):
   otherwise                             -> FLAGGED (review table; excluded
                                            from clustering = DRAFT-not-
                                            applied semantics)
+
+Pairs are keyed by the compact int64 ``doc_uid`` end-to-end; urls are
+joined back onto the (small) verified table by the pipeline.
 """
 
 from __future__ import annotations
@@ -55,30 +58,29 @@ def verify_pairs(
 ) -> DataFrame:
     """Score candidate pairs; emit status CONFIRMED/REJECTED/FLAGGED.
 
-    ``pairs``: url_a, url_b, channel, n_keys.
-    ``features``: url, shingles, simhash (plus anything else; pruned here —
-    Catalyst pushes this projection into the feature-table scan).
+    ``pairs``: uid_a, uid_b, channel, n_keys.
+    ``features``: doc_uid, shingles, simhash (plus anything else; pruned
+    here — Catalyst pushes this projection into the feature-table scan).
 
     FLAGGED rows still carry both scores; the suffix stage upgrades some of
-    them afterwards. Two shuffle hash joins on url (the feature side is
-    pre-partitioned by the caller when materialized).
+    them afterwards. Two shuffle hash joins on the int64 uid.
     """
-    feat = features.select("url", "shingles", "simhash")
+    feat = features.select("doc_uid", "shingles", "simhash")
 
     a = feat.select(
-        F.col("url").alias("url_a"),
+        F.col("doc_uid").alias("uid_a"),
         F.col("shingles").alias("_sh_a"),
         F.col("simhash").alias("_sim_a"),
     )
     b = feat.select(
-        F.col("url").alias("url_b"),
+        F.col("doc_uid").alias("uid_b"),
         F.col("shingles").alias("_sh_b"),
         F.col("simhash").alias("_sim_b"),
     )
 
     scored = (
-        pairs.join(a, "url_a")
-        .join(b, "url_b")
+        pairs.join(a, "uid_a")
+        .join(b, "uid_b")
         .withColumn("jaccard", jaccard_udf("_sh_a", "_sh_b"))
         .withColumn(
             "hamming",

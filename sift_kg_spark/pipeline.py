@@ -115,6 +115,12 @@ def prepare_stage(pages: DataFrame, cfg: DedupConfig, n_partitions: int) -> Data
     )
     return docs.select(
         "url",
+        # compact 64-bit doc id: the candidate exchange and verify joins
+        # shuffle this instead of ~60-byte url strings (urls are joined
+        # back only onto the small verified-pair table). Collision odds at
+        # 10^12 docs are ~3e-2 for ONE colliding pair globally; a 128-bit
+        # digest (two-column key) removes even that if required.
+        F.xxhash64("url").alias("doc_uid"),
         "lang",
         "text_norm",
         "n_chars",
@@ -189,13 +195,14 @@ def run_dedup(
         # derive the band keys inside the UDF; materializing it would be
         # the single largest column in the stage for no downstream reader.
         return reps.select(
+            "doc_uid",
             "url",
             "lang",
             "n_chars",
             features_udf(F.col("text_norm")).alias("f"),
         ).select(
-            "url", "lang", "n_chars",
-            "f.n_tokens", "f.shingles", "f.bands", "f.simhash", "f.simchunks",
+            "doc_uid", "url", "lang", "n_chars",
+            "f.n_tokens", "f.shingles", "f.simhash", "f.keys",
         )
 
     features = commit("features", build_features, ("prepared",))
@@ -214,28 +221,30 @@ def run_dedup(
 
     def build_spans() -> DataFrame:
         flagged = verified.filter(F.col("status") == "flagged").select(
-            "url_a", "url_b"
+            "uid_a", "uid_b"
         )
-        texts = docs.select("url", "text_norm")
+        texts = docs.select("doc_uid", "text_norm")
         flagged_texts = (
             flagged.join(
                 texts.select(
-                    F.col("url").alias("url_a"), F.col("text_norm").alias("text_a")
+                    F.col("doc_uid").alias("uid_a"),
+                    F.col("text_norm").alias("text_a"),
                 ),
-                "url_a",
+                "uid_a",
             ).join(
                 texts.select(
-                    F.col("url").alias("url_b"), F.col("text_norm").alias("text_b")
+                    F.col("doc_uid").alias("uid_b"),
+                    F.col("text_norm").alias("text_b"),
                 ),
-                "url_b",
+                "uid_b",
             )
-        ).select("url_a", "url_b", "text_a", "text_b")
+        ).select("uid_a", "uid_b", "text_a", "text_b")
         return confirm_spans(flagged_texts, cfg)
 
     spans = commit("spans", build_spans, ("verified", "prepared"))
 
     def build_pairs() -> DataFrame:
-        scored = verified.join(spans, ["url_a", "url_b"], "left")
+        scored = verified.join(spans, ["uid_a", "uid_b"], "left")
         span_confirm = (F.col("status") == "flagged") & (
             F.col("span") >= cfg.min_span_bytes
         )
@@ -246,6 +255,24 @@ def run_dedup(
             "status",
             F.when(span_confirm, F.lit("confirmed")).otherwise(F.col("status")),
         )
+        # map the compact uids back to urls — only on the small pair table
+        urls = docs.select("doc_uid", "url")
+        named = (
+            upgraded.join(
+                urls.select(
+                    F.col("doc_uid").alias("uid_a"), F.col("url").alias("_ua")
+                ),
+                "uid_a",
+            )
+            .join(
+                urls.select(
+                    F.col("doc_uid").alias("uid_b"), F.col("url").alias("_ub")
+                ),
+                "uid_b",
+            )
+            .withColumn("url_a", F.least("_ua", "_ub"))
+            .withColumn("url_b", F.greatest("_ua", "_ub"))
+        )
         exact = (
             exact_pairs.withColumn("n_keys", F.lit(None).cast("bigint"))
             .withColumn("hamming", F.lit(0))
@@ -254,7 +281,7 @@ def run_dedup(
             .withColumn("decided_by", F.lit("exact"))
         )
         return exact.select(*PAIR_COLUMNS).unionByName(
-            upgraded.select(*PAIR_COLUMNS)
+            named.select(*PAIR_COLUMNS)
         )
 
     dup_pairs = commit("dup_pairs", build_pairs, ("verified", "spans", "exact_pairs"))

@@ -47,45 +47,51 @@ class TestExactStage:
 
 
 class TestCandidatePairs:
+    # packed keys: channel tag in the low 2 bits (0=minhash, 1=simchunk,
+    # 2=anchor); a minhash band key stands alone, others need >=2 co-fires
+    MH = 0b1000  # minhash-channel key (tag 0)
+    AN = 0b1010  # anchor-channel key (tag 2)
+
     def _keys(self, spark, rows):
-        return spark.createDataFrame(
-            rows, "url string, lang string, channel string, key_id int, key_hash long"
-        )
+        return spark.createDataFrame(rows, "doc_uid long, lang string, key long")
 
     def test_small_bucket_all_pairs(self, spark):
         keys = self._keys(
-            spark,
-            [("a", "en", "minhash", 0, 7), ("b", "en", "minhash", 0, 7),
-             ("c", "en", "minhash", 0, 7)],
+            spark, [(1, "en", self.MH), (2, "en", self.MH), (3, "en", self.MH)]
         )
-        got = {(r.url_a, r.url_b) for r in candidate_pairs(keys, CFG).collect()}
-        assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+        got = {(r.uid_a, r.uid_b) for r in candidate_pairs(keys, CFG).collect()}
+        assert got == {(1, 2), (1, 3), (2, 3)}
 
     def test_hot_bucket_star_reduction(self, spark):
         cfg = DedupConfig(hot_band_cap=4)
         n = 10
-        keys = self._keys(
-            spark, [(f"u{i:02d}", "en", "minhash", 0, 5) for i in range(n)]
-        )
+        keys = self._keys(spark, [(i, "en", self.MH) for i in range(n)])
         pairs = candidate_pairs(keys, cfg).collect()
         # star: n-1 pairs, all against the min url
         assert len(pairs) == n - 1
-        assert all(r.url_a == "u00" for r in pairs)
+        assert all(r.uid_a == 0 for r in pairs)
 
-    def test_key_id_isolation(self, spark):
-        # same hash in different band positions must not pair
+    def test_distinct_keys_never_pair(self, spark):
         keys = self._keys(
-            spark,
-            [("a", "en", "minhash", 0, 7), ("b", "en", "minhash", 1, 7)],
+            spark, [(1, "en", self.MH), (2, "en", self.MH + 4)]
         )
         assert candidate_pairs(keys, CFG).count() == 0
 
     def test_lang_isolation(self, spark):
         keys = self._keys(
-            spark,
-            [("a", "en", "minhash", 0, 7), ("b", "es", "minhash", 0, 7)],
+            spark, [(1, "en", self.MH), (2, "es", self.MH)]
         )
         assert candidate_pairs(keys, CFG).count() == 0
+
+    def test_single_anchor_gated_multi_anchor_kept(self, spark):
+        keys = self._keys(
+            spark,
+            [(1, "en", self.AN), (2, "en", self.AN),           # 1 co-fire
+             (3, "en", self.AN + 4), (4, "en", self.AN + 4),   # 2 co-fires
+             (3, "en", self.AN + 8), (4, "en", self.AN + 8)],
+        )
+        got = {(r.uid_a, r.uid_b) for r in candidate_pairs(keys, CFG).collect()}
+        assert got == {(3, 4)}
 
 
 class TestConnectedComponents:
@@ -140,21 +146,21 @@ class TestVerifyThresholds:
         texts = pd.Series([base, near, half, other])
         f = compute_features_pdf(texts, CFG)
         urls = ["base", "near", "half", "other"]
+        uids = {"base": 10, "near": 11, "half": 12, "other": 13}
         feat = spark.createDataFrame(
             pd.DataFrame(
-                {"url": urls,
+                {"doc_uid": [uids[u] for u in urls],
                  "shingles": [s.tolist() for s in f.shingles],
                  "simhash": f.simhash}
             )
         )
         pairs = spark.createDataFrame(
-            [("base", "near", "minhash", 3), ("base", "half", "minhash", 1),
-             ("base", "other", "minhash", 1)],
-            "url_a string, url_b string, channel string, n_keys long",
+            [(10, 11, "minhash", 3), (10, 12, "minhash", 1), (10, 13, "minhash", 1)],
+            "uid_a long, uid_b long, channel string, n_keys long",
         )
-        got = {(r.url_a, r.url_b): r for r in verify_pairs(pairs, feat, CFG).collect()}
-        assert got[("base", "near")].status == "confirmed"
-        assert got[("base", "near")].decided_by in ("jaccard", "simhash")
-        assert got[("base", "other")].status == "rejected"
-        assert got[("base", "half")].status == "flagged"
-        assert 0.0 <= got[("base", "half")].jaccard < CFG.approve_jaccard
+        got = {(r.uid_a, r.uid_b): r for r in verify_pairs(pairs, feat, CFG).collect()}
+        assert got[(10, 11)].status == "confirmed"
+        assert got[(10, 11)].decided_by in ("jaccard", "simhash")
+        assert got[(10, 13)].status == "rejected"
+        assert got[(10, 12)].status == "flagged"
+        assert 0.0 <= got[(10, 12)].jaccard < CFG.approve_jaccard

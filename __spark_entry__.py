@@ -598,6 +598,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["binary_payload_stats"] = binary_payload_stats
 
+    def ann_lsh_topk_embeddings(spark, sf):
+        # scale-path ANN: random-hyperplane LSH buckets + exact re-rank
+        # (rows-only: hyperplane projections are not SQL-expressible;
+        # the exact-cosine baseline is oracled by embedding_cosine_topk)
+        from sift_kg_spark.operators.ann import ann_lsh_topk
+
+        e = _t(spark, sf, "embeddings")
+        return ann_lsh_topk(
+            e, "vec_id", "embedding", dim=64, k=5,
+            query_filter=F.col("vec_id") < 10,
+        ).select("query_id", "neighbor_id", "rnk")
+
+    q["ann_lsh_topk_embeddings"] = ann_lsh_topk_embeddings
+
     # ---- dedup pipeline stages (rows-only: not SQL-expressible) -----------
 
     def dedup_lsh_candidates(spark, sf):

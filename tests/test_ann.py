@@ -1,0 +1,77 @@
+"""LSH-bucketed ANN: planted near-neighbors must be found; re-rank order
+must be exact-cosine; deterministic across calls."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sift_kg_spark.operators.ann import ann_lsh_topk
+
+DIM = 32
+
+
+def _clustered_vectors(n_clusters=10, per_cluster=12, seed=5):
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = rng.standard_normal(DIM)
+        center /= np.linalg.norm(center)
+        for _ in range(per_cluster):
+            v = center + 0.12 * rng.standard_normal(DIM)
+            rows.append(
+                {"vec_id": vid, "cluster": c,
+                 "embedding": (v / np.linalg.norm(v)).astype(np.float32).tolist()}
+            )
+            vid += 1
+    return pd.DataFrame(rows)
+
+
+class TestAnnLsh:
+    def test_planted_neighbors_found(self, spark):
+        pdf = _clustered_vectors()
+        df = spark.createDataFrame(pdf)
+        topk = ann_lsh_topk(
+            df, "vec_id", "embedding", DIM, k=5,
+            query_filter=F.col("vec_id") < 20,
+        ).toPandas()
+        truth = dict(zip(pdf.vec_id, pdf.cluster))
+        # planted same-cluster vectors have cosine ~0.97; noise pairs ~0 —
+        # every retrieved neighbor of a query must be from its cluster
+        assert len(topk) > 0
+        hits = sum(
+            1 for r in topk.itertuples() if truth[r.query_id] == truth[r.neighbor_id]
+        )
+        assert hits / len(topk) >= 0.9
+        # rank-1 must always be a true planted neighbor
+        top1 = topk[topk.rnk == 1]
+        assert all(truth[r.query_id] == truth[r.neighbor_id] for r in top1.itertuples())
+        # each query found most of its 11 planted neighbors
+        per_q = topk.groupby("query_id").size()
+        assert (per_q >= 4).all()
+
+    def test_rerank_is_exact_cosine(self, spark):
+        pdf = _clustered_vectors(n_clusters=3, per_cluster=8)
+        df = spark.createDataFrame(pdf)
+        topk = ann_lsh_topk(
+            df, "vec_id", "embedding", DIM, k=3,
+            query_filter=F.col("vec_id") == 0,
+        ).toPandas().sort_values("rnk")
+        vecs = {r.vec_id: np.array(r.embedding) for r in pdf.itertuples()}
+
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        for r in topk.itertuples():
+            assert abs(cos(vecs[0], vecs[r.neighbor_id]) - r.cosine) < 1e-5
+        assert list(topk.cosine) == sorted(topk.cosine, reverse=True)
+
+    def test_deterministic(self, spark):
+        pdf = _clustered_vectors(n_clusters=2, per_cluster=6)
+        df = spark.createDataFrame(pdf)
+        a = ann_lsh_topk(df, "vec_id", "embedding", DIM, k=3).toPandas()
+        b = ann_lsh_topk(df, "vec_id", "embedding", DIM, k=3).toPandas()
+        key = ["query_id", "rnk"]
+        assert a.sort_values(key).neighbor_id.tolist() == b.sort_values(key).neighbor_id.tolist()

@@ -49,6 +49,24 @@ _NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"          # spark SQL
 _NORM_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"  # duckdb
 
 
+def _with_max_doc_id(d: DataFrame) -> DataFrame:
+    """Attach max(doc_id) as a column via a crossJoin on the 1-row agg —
+    one job per query (the DuckDB oracles use the same `mx AS (...)` CTE)
+    instead of a driver-side scalar collect()."""
+    return d.crossJoin(F.broadcast(d.agg(F.max("doc_id").alias("_mx"))))
+
+
+def _chain_edges(d: DataFrame, mod: int, keep: int) -> DataFrame:
+    """Synthetic doc_id -> doc_id+1 chain edges (doc_id % mod < keep)."""
+    return (
+        _with_max_doc_id(d)
+        .filter((F.col("doc_id") % mod < keep) & (F.col("doc_id") < F.col("_mx")))
+        .select(
+            F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -417,13 +435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sift_kg_spark.operators.components import connected_components
 
         d = _t(spark, sf, "documents").select("doc_id")
-        max_id = d.agg(F.max("doc_id")).collect()[0][0]
-        edges = (
-            d.filter((F.col("doc_id") % 10 < 3) & (F.col("doc_id") < max_id))
-            .select(
-                F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("url_a"),
-                F.lpad((F.col("doc_id") + 1).cast("string"), 8, "0").alias("url_b"),
-            )
+        edges = _chain_edges(d, 10, 3).select(
+            F.lpad(F.col("src").cast("string"), 8, "0").alias("url_a"),
+            F.lpad(F.col("dst").cast("string"), 8, "0").alias("url_b"),
         )
         cc = connected_components(edges)
         return cc.select(
@@ -474,14 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assign = d.withColumn("canonical_doc_id", F.first("doc_id").over(w)).select(
             "doc_id", "canonical_doc_id"
         )
-        mx = _t(spark, sf, "documents").agg(F.max("doc_id")).collect()[0][0]
-        edges = (
-            _t(spark, sf, "documents")
-            .filter((F.col("doc_id") % 7 < 2) & (F.col("doc_id") < mx))
-            .select(
-                F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
-            )
-        )
+        edges = _chain_edges(_t(spark, sf, "documents").select("doc_id"), 7, 2)
         a_src = assign.select(
             F.col("doc_id").alias("src"), F.col("canonical_doc_id").alias("new_src")
         )
@@ -514,12 +521,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["max_value_event_per_user"] = max_value_event_per_user
 
     def user_event_type_sets(spark, sf):
-        # U1/A3: alias/source-document set union on merge
+        # U1/A3: alias/source-document set union on merge. The set is
+        # emitted as a '|'-joined string: the driver's canonicalizer hashes
+        # column values and array cells are not hashable.
         return (
             _t(spark, sf, "events")
             .groupBy("user_id")
             .agg(
-                F.sort_array(F.collect_set("event_type")).alias("event_types"),
+                F.array_join(
+                    F.sort_array(F.collect_set("event_type")), "|"
+                ).alias("event_types"),
                 F.size(F.collect_set("event_type")).alias("n_types"),
             )
         )
@@ -545,10 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def isolated_docs(spark, sf):
         # G4: degree-0 nodes = docs on neither end of any chain edge
         d = _t(spark, sf, "documents").select("doc_id")
-        mx = d.agg(F.max("doc_id")).collect()[0][0]
-        edges = d.filter((F.col("doc_id") % 10 < 3) & (F.col("doc_id") < mx)).select(
-            F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
-        )
+        edges = _chain_edges(d, 10, 3)
         endpoints = edges.select(F.col("src").alias("doc_id")).unionByName(
             edges.select(F.col("dst").alias("doc_id"))
         )
@@ -559,10 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def two_hop_neighbors(spark, sf):
         # G5: ego-subgraph BFS depth 2 from seed nodes (communities.py:292-376)
         d = _t(spark, sf, "documents").select("doc_id")
-        mx = d.agg(F.max("doc_id")).collect()[0][0]
-        edges = d.filter((F.col("doc_id") % 10 < 3) & (F.col("doc_id") < mx)).select(
-            F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
-        )
+        edges = _chain_edges(d, 10, 3)
         sym = edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
@@ -915,7 +920,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["user_event_type_sets"] = """
         SELECT user_id,
-               list_sort(list(DISTINCT event_type)) AS event_types,
+               array_to_string(list_sort(list(DISTINCT event_type)), '|') AS event_types,
                CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
         FROM events GROUP BY user_id
     """

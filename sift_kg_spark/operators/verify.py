@@ -39,17 +39,43 @@ from sift_kg_spark.config import DedupConfig
 
 @F.pandas_udf(T.DoubleType())
 def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Exact Jaccard of two sorted-unique int64 arrays per row."""
-    out = np.empty(len(a), dtype=np.float64)
-    for i in range(len(a)):
-        xa, xb = a.iloc[i], b.iloc[i]
-        if xa is None or xb is None or len(xa) == 0 or len(xb) == 0:
-            out[i] = 0.0
+    """Exact Jaccard of two sorted-unique int64 arrays per row.
+
+    Vectorized over the whole Arrow batch (same reduceat-style pattern as
+    hashing.minhash_signatures): both ragged columns are concatenated into
+    ONE value array tagged with a pair id, a single lexsort groups equal
+    values within each pair, and — because each side is duplicate-free —
+    every adjacent equal value inside a pair is exactly one intersection
+    hit, counted per pair with one bincount. No per-row Python loop.
+    """
+    n = len(a)
+    if n == 0:
+        return pd.Series(np.empty(0, dtype=np.float64))
+    arrs: list[np.ndarray] = []
+    len_a = np.zeros(n, dtype=np.int64)
+    len_b = np.zeros(n, dtype=np.int64)
+    for i, (xa, xb) in enumerate(zip(a, b)):
+        if xa is None or xb is None:
             continue
-        xa = np.asarray(xa, dtype=np.int64)
-        xb = np.asarray(xb, dtype=np.int64)
-        inter = np.intersect1d(xa, xb, assume_unique=True).size
-        out[i] = inter / (len(xa) + len(xb) - inter)
+        len_a[i] = len(xa)
+        len_b[i] = len(xb)
+        arrs.append(np.asarray(xa, dtype=np.int64))
+        arrs.append(np.asarray(xb, dtype=np.int64))
+    union_max = len_a + len_b
+    if not arrs:
+        return pd.Series(np.zeros(n, dtype=np.float64))
+    vals = np.concatenate(arrs)
+    seg = np.repeat(np.arange(n, dtype=np.int64), union_max)
+    order = np.lexsort((vals, seg))
+    sv = vals[order]
+    ss = seg[order]
+    dup = np.zeros(len(sv), dtype=bool)
+    dup[1:] = (sv[1:] == sv[:-1]) & (ss[1:] == ss[:-1])
+    inter = np.bincount(ss[dup], minlength=n).astype(np.int64)
+    union = union_max - inter
+    out = np.zeros(n, dtype=np.float64)
+    nz = (union > 0) & (len_a > 0) & (len_b > 0)
+    out[nz] = inter[nz] / union[nz]
     return pd.Series(out)
 
 

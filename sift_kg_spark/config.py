@@ -62,10 +62,15 @@ class DedupConfig:
 
     seed: int = 42
 
-    # SimHash chunk candidates: splitting the 64-bit SimHash into
-    # ``simhash_chunks`` pieces guarantees (pigeonhole) that every pair with
-    # Hamming distance < simhash_chunks shares at least one chunk — a
+    # SimHash chunk-PAIR candidates: the 64-bit SimHash is split into
+    # ``simhash_chunks`` pieces and every pair of chunks is combined into
+    # one blocking key (functions/features.py). Pigeonhole guarantee: a
+    # doc pair at Hamming distance <= simhash_chunks - 2 has >= 2 clean
+    # (identical) chunks and therefore shares >= 1 chunk-pair key — a
     # *deterministic* recall channel alongside probabilistic MinHash-LSH.
+    # (Single-chunk keys would extend the guarantee to Hamming <=
+    # simhash_chunks - 1 but collide quadratically on large corpora; the
+    # pair-key trade-off is deliberate.)
     simhash_chunks: int = 4
 
     def __post_init__(self) -> None:

@@ -12,8 +12,13 @@ assumed.
 
 Normalization mirrors the reference's Layer-1 phase-1 key
 (/root/reference/src/sift_kg/graph/prededup.py:57-61: unidecode -> lower ->
-strip) adapted to page text: NFKD ASCII fold (unidecode is not available and
-targets entity names; documented divergence per SURVEY.md §7), casefold,
+strip) adapted to page text: NFKD decomposition, then STRIP COMBINING MARKS
+ONLY (category Mn) rather than an ascii-ignore byte drop — unidecode
+*transliterates*; an ascii-ignore fold would DELETE every CJK / Cyrillic /
+Greek / Arabic codepoint, normalizing unrelated non-Latin documents to
+near-identical punctuation husks that then mass-false-merge in the
+exact-dup stage. Accent variants still fold together (e -> e + U+0301 ->
+e), and non-Latin corpora dedup on their real content. Then casefold +
 whitespace collapse. Title-prefix stripping and per-word singularization
 (prededup.py:30-72) are entity-name-specific and intentionally not applied
 to page text.
@@ -97,30 +102,45 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text_py)
 
 
+_MN_TABLE: dict[int, None] | None = None
+
+
+def _mn_table() -> dict[int, None]:
+    """str.translate table deleting every combining mark (category Mn).
+
+    Built lazily once per process (~1s full-plane scan) and reused across
+    Arrow batches — Spark reuses Python workers, so the cost amortizes to
+    zero on executors.
+    """
+    global _MN_TABLE
+    if _MN_TABLE is None:
+        import sys
+
+        _MN_TABLE = {
+            cp: None
+            for cp in range(sys.maxunicode + 1)
+            if unicodedata.category(chr(cp)) == "Mn"
+        }
+    return _MN_TABLE
+
+
 def normalize_text_py(text: str | None) -> str | None:
-    """NFKD ASCII fold + casefold + whitespace collapse + strip."""
+    """NFKD -> strip combining marks -> casefold -> whitespace collapse.
+
+    Keeps non-Latin codepoints (CJK/Cyrillic/Greek/Arabic text survives);
+    only the decomposed accents/diacritics are removed, so 'José' and
+    'Jose' fold together without deleting scripts the ascii-ignore fold
+    would destroy.
+    """
     if text is None:
         return None
-    folded = (
-        unicodedata.normalize("NFKD", text).encode("ascii", "ignore").decode("ascii")
-    )
+    folded = unicodedata.normalize("NFKD", text).translate(_mn_table())
     return " ".join(folded.casefold().split())
 
 
 @F.pandas_udf(T.StringType())
 def normalize_text_udf(text: pd.Series) -> pd.Series:
-    # Vectorized pandas string ops where possible; the NFKD fold needs the
-    # per-element unicodedata call (C-implemented).
-    def _fold(s: str | None) -> str | None:
-        if s is None:
-            return None
-        return (
-            unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii")
-        )
-
-    folded = text.map(_fold)
-    return (
-        folded.str.casefold()
-        .str.replace(r"\s+", " ", regex=True)
-        .str.strip()
-    )
+    # The SAME function body as the single-process oracle — parity by
+    # construction (unicodedata calls are C-implemented; pandas object-
+    # dtype str ops are per-element loops anyway, so .map costs the same).
+    return text.map(normalize_text_py)

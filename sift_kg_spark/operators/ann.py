@@ -10,8 +10,23 @@ Two tiers, per the training-data-pipeline brief:
   (Charikar, STOC'02); grouping ``bits_per_band``-bit bands into bucket
   keys turns top-k search into an equi-join + exact re-rank within
   buckets — the same exchange shape as the MinHash text path
-  (operators/lsh.py), so the skew machinery there applies unchanged at
-  10^12 scale.
+  (operators/lsh.py).
+
+Scale guards (round-1 advice):
+
+* ``bits_per_band`` is configurable and defaults to 16 — 8-bit bands have
+  only 256 distinct keys, so every band bucket averages N/256 members and
+  the bucket self-join degenerates toward O(N^2/512) pairs; 16-bit bands
+  give 65,536 keys per band (E[bucket] = N/65,536). Recall at a given
+  cosine is tuned with ``n_planes`` (more, narrower-probability bands),
+  not by re-widening buckets.
+* ``bucket_cap`` bounds reducer load the way the text path's hot-band
+  star pairing does: buckets larger than the cap keep only the cap
+  deterministically-chosen members on the NEIGHBOR side (smallest
+  xxhash64(vid)), so every query still receives up to cap candidates per
+  hot bucket while no bucket can emit a quadratic pair load. Dense-region
+  recall degrades gracefully and deterministically; the drop is logged by
+  ``ann_bucket_histogram``.
 
 Probability a pair with angle theta shares >= 1 of b bands of r bits:
 1 - (1 - (1 - theta/pi)^r)^b.
@@ -27,25 +42,31 @@ from pyspark.sql import functions as F
 from sift_kg_spark.functions.hashing import mix64
 
 
-def make_hyperplane_udf(dim: int, n_planes: int = 64, seed: int = 42):
+def make_hyperplane_udf(
+    dim: int, n_planes: int = 128, bits_per_band: int = 16, seed: int = 42
+):
     """pandas UDF: embedding array<float> -> array<bigint> band keys."""
-    if n_planes % 8 != 0:
-        raise ValueError("n_planes must be a multiple of 8")
-    n_bands = n_planes // 8
+    if n_planes % bits_per_band != 0:
+        raise ValueError("n_planes must be a multiple of bits_per_band")
+    if not 1 <= bits_per_band <= 32:
+        raise ValueError("bits_per_band must be in [1, 32]")
+    n_bands = n_planes // bits_per_band
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes)).astype(np.float64)
+    pow2 = (np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64))
 
     @F.pandas_udf("array<bigint>")
     def hyperplane_keys(emb: pd.Series) -> pd.Series:
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
-        bits = (mat @ planes) > 0  # (n, n_planes)
-        packed = np.packbits(bits, axis=1, bitorder="little")  # (n, n_bands)
-        out = []
+        bits = ((mat @ planes) > 0).astype(np.uint64)  # (n, n_planes)
+        grouped = bits.reshape(len(mat), n_bands, bits_per_band)
+        packed = grouped @ pow2  # (n, n_bands) band integers
         band_seed = mix64(np.arange(1, n_bands + 1, dtype=np.uint64))
-        for row in packed:
-            keys = mix64(row.astype(np.uint64) ^ band_seed).view(np.int64)
-            out.append(keys)
-        return pd.Series(out)
+        with np.errstate(over="ignore"):
+            keys = mix64((packed ^ band_seed[None, :]).reshape(-1)).view(
+                np.int64
+            ).reshape(len(mat), n_bands)
+        return pd.Series(list(keys))
 
     return hyperplane_keys
 
@@ -56,17 +77,20 @@ def ann_lsh_topk(
     vec_col: str,
     dim: int,
     k: int = 5,
-    n_planes: int = 64,
+    n_planes: int = 128,
+    bits_per_band: int = 16,
     seed: int = 42,
+    bucket_cap: int = 2000,
     query_filter=None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors per query id.
 
     ``query_filter``: optional Column predicate selecting query rows
     (default: all rows are queries). Candidates = pairs sharing >= 1
-    hyperplane band; exact cosine re-rank within candidates.
+    hyperplane band (hot buckets capped, see module docstring); exact
+    cosine re-rank within candidates.
     """
-    keys_udf = make_hyperplane_udf(dim, n_planes, seed)
+    keys_udf = make_hyperplane_udf(dim, n_planes, bits_per_band, seed)
     sig = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
@@ -75,6 +99,20 @@ def ann_lsh_topk(
     exploded = sig.select(
         "vid", F.posexplode("bkeys").alias("band_id", "band_key")
     )
+
+    # Hot-bucket cap on the NEIGHBOR side only: deterministic smallest-
+    # hash members survive; queries keep full fan-in up to the cap.
+    w = Window.partitionBy("band_id", "band_key").orderBy(
+        F.xxhash64("vid"), F.asc("vid")
+    )
+    neighbors = (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= bucket_cap)
+        .select(
+            F.col("vid").alias("neighbor_id"), "band_id", "band_key"
+        )
+    )
+
     q = exploded
     if query_filter is not None:
         qids = embeddings.filter(query_filter).select(
@@ -83,12 +121,7 @@ def ann_lsh_topk(
         q = exploded.join(qids, "vid")
     cand = (
         q.select(F.col("vid").alias("query_id"), "band_id", "band_key")
-        .join(
-            exploded.select(
-                F.col("vid").alias("neighbor_id"), "band_id", "band_key"
-            ),
-            ["band_id", "band_key"],
-        )
+        .join(neighbors, ["band_id", "band_key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
@@ -115,4 +148,29 @@ def ann_lsh_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def ann_bucket_histogram(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 128,
+    bits_per_band: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew diagnostic: log2 bucket-size histogram of the band exchange
+    (mirrors operators/lsh.bucket_size_histogram for the text path)."""
+    keys_udf = make_hyperplane_udf(dim, n_planes, bits_per_band, seed)
+    exploded = embeddings.select(
+        F.col(id_col).alias("vid"), keys_udf(F.col(vec_col)).alias("bkeys")
+    ).select("vid", F.posexplode("bkeys").alias("band_id", "band_key"))
+    return (
+        exploded.groupBy("band_id", "band_key")
+        .count()
+        .withColumn("log2_size", F.floor(F.log2("count")))
+        .groupBy("log2_size")
+        .agg(F.count("*").alias("n_buckets"), F.sum("count").alias("n_vids"))
+        .orderBy("log2_size")
     )

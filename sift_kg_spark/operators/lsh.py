@@ -24,10 +24,14 @@ STAR pairing against the bucket's min-url member (O(n)), preserving
 intra-bucket connectivity for true dup families while bounding pair
 volume. AQE skew-join splitting (session.py) is the built-in half.
 
-Precision gate: a full MinHash band match is strong evidence on its own;
-anchor/simchunk pairs must co-fire >= 2 keys (a single shared shingle
-between unrelated docs is common at corpus scale and was the dominant
-junk-pair source).
+Precision gate: a full MinHash band match is strong evidence on its own,
+and so is a single simchunk key (32 matching SimHash bits; random
+collisions negligible until ~10^9 docs per lang partition) — gating
+simchunk at >= 2 keys would silently break the channel's pigeonhole
+guarantee for pairs at Hamming n_chunks-2, whose two clean chunks form
+exactly ONE pair-key. Only anchor-only pairs must co-fire >= 2 keys (a
+single shared shingle between unrelated docs is common at corpus scale
+and was the dominant junk-pair source).
 """
 
 from __future__ import annotations
@@ -106,8 +110,10 @@ def candidate_pairs(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
         .drop("channel_tag")
         .select("uid_a", "uid_b", "channel", "n_keys")
     )
+    # channel = strongest co-firing channel (min tag): only pairs whose
+    # SOLE evidence is the anchor channel face the >= 2 gate.
     return collapsed.filter(
-        (F.col("channel") == "minhash") | (F.col("n_keys") >= 2)
+        (F.col("channel") != "anchor") | (F.col("n_keys") >= 2)
     )
 
 

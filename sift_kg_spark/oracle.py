@@ -133,7 +133,12 @@ def run_dedup_oracle(
         axis=1,
     )
     norm = text.map(normalize_text_py)
-    ok = text.notna() & (text.fillna("").str.strip().str.len() >= cfg.min_text_chars)
+    ok = (
+        text.notna()
+        & (text.fillna("").str.strip().str.len() >= cfg.min_text_chars)
+        # normalized-length quarantine (pipeline.prepare_stage parity)
+        & (norm.fillna("").str.len() >= max(1, cfg.min_text_chars // 2))
+    )
     docs = pd.DataFrame(
         {
             "url": pages["url"],
@@ -195,8 +200,10 @@ def run_dedup_oracle(
     # --- verify (Layers 2-3) ---
     pair_status: dict = {}
     for (ia, ib), (n_keys, best_tag) in pair_keys.items():
-        if best_tag != 0 and n_keys < 2:
-            continue  # precision gate
+        if best_tag == 2 and n_keys < 2:
+            continue  # precision gate: anchor-only single co-fires dropped
+            # (minhash bands and simchunk pair-keys stand alone —
+            # operators/lsh.candidate_pairs parity)
         sa = feats["shingles"][ia]
         sb = feats["shingles"][ib]
         inter = np.intersect1d(sa, sb, assume_unique=True).size

@@ -108,24 +108,64 @@ def prepare_stage(pages: DataFrame, cfg: DedupConfig, n_partitions: int) -> Data
     is_bad = (
         F.col("text").isNull()
         | (F.length(F.trim(F.col("text"))) < cfg.min_text_chars)
+        # Defense in depth: a page whose NORMALIZED text collapses to
+        # nothing (markup-only content, pure diacritics) must never reach
+        # the hash stages — near-empty normalized keys would mass-merge
+        # unrelated pages.
+        | (F.length("text_norm") < F.lit(max(1, cfg.min_text_chars // 2)))
     )
     reason = F.when(
         is_bad,
-        F.when(F.col("text").isNull(), "extraction_failed").otherwise("near_empty"),
+        F.when(F.col("text").isNull(), "extraction_failed")
+        .when(
+            F.length(F.trim(F.col("text"))) < cfg.min_text_chars, "near_empty"
+        )
+        .otherwise("normalized_empty"),
     )
-    return docs.select(
+    prepared = docs.select(
         "url",
         # compact 64-bit doc id: the candidate exchange and verify joins
         # shuffle this instead of ~60-byte url strings (urls are joined
-        # back only onto the small verified-pair table). Collision odds at
-        # 10^12 docs are ~3e-2 for ONE colliding pair globally; a 128-bit
-        # digest (two-column key) removes even that if required.
+        # back only onto the small verified-pair table). Birthday math:
+        # expected colliding pairs ~= n^2 / 2^65 — negligible below ~10^9
+        # docs but ~27,000 pairs at the 10^12 design point, so collisions
+        # are RESCUED below (rekey_uid_collisions), not assumed away.
         F.xxhash64("url").alias("doc_uid"),
         "lang",
         "text_norm",
         "n_chars",
         F.sha2(F.col("text_norm"), 256).alias("sha"),
         reason.alias("reason"),
+    )
+    return rekey_uid_collisions(prepared)
+
+
+def rekey_uid_collisions(prepared: DataFrame) -> DataFrame:
+    """Deterministically re-key docs whose 64-bit uid collides.
+
+    One aggregation finds colliding uids (expected ~n^2/2^65 pairs: ~27k
+    at 10^12 docs — a broadcastable table at any realistic scale); those
+    rows get a reseeded uid. Residual risk after one round is the chance a
+    REKEYED uid collides again (~|collisions| * n / 2^64 ~= 1.5e-3 events
+    globally at 10^12) — far below the pipeline's decision noise floor.
+    Deterministic: depends only on the url set, not on partitioning.
+    """
+    collisions = (
+        prepared.groupBy("doc_uid")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("doc_uid", F.lit(True).alias("_collides"))
+    )
+    return (
+        prepared.join(F.broadcast(collisions), "doc_uid", "left")
+        .withColumn(
+            "doc_uid",
+            F.when(
+                F.col("_collides").isNotNull(),
+                F.xxhash64("url", F.lit("#uid-rekey-1")),
+            ).otherwise(F.col("doc_uid")),
+        )
+        .drop("_collides")
     )
 
 
@@ -137,6 +177,7 @@ def split_quarantine(
     is_bad = (
         F.col("text").isNull()
         | (F.length(F.trim(F.col("text"))) < cfg.min_text_chars)
+        | (F.length("text_norm") < F.lit(max(1, cfg.min_text_chars // 2)))
     )
     good = docs.filter(~is_bad).select(
         "url",

@@ -23,6 +23,7 @@ to ``_lineage``.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -58,17 +59,42 @@ class StageStore:
         return os.path.join(self._manifest_dir, f"{name}.json")
 
     # -- snapshot protocol -------------------------------------------------
+    def _fingerprint_of(self, manifest: dict) -> str:
+        """Identity of a committed stage: run + rows + schema. Any rebuild
+        of the stage changes run_id, so downstream stages that recorded
+        this fingerprint are invalidated too (lineage-chain validation).
+        Stable digest — Python's built-in hash() is salted per process."""
+        schema_digest = hashlib.sha1(
+            (manifest.get("schema") or "").encode()
+        ).hexdigest()[:12]
+        return f"{manifest.get('run_id')}:{manifest.get('rows')}:{schema_digest}"
+
+    def _load_manifest(self, name: str) -> dict | None:
+        try:
+            with open(self._manifest_path(name)) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None
+
     def exists(self, name: str) -> bool:
-        path = self._manifest_path(name)
-        if not os.path.exists(path):
+        committed = self._load_manifest(name)
+        if committed is None:
             return False
-        if self.context is not None:
-            try:
-                with open(path) as fh:
-                    committed = json.load(fh).get("context")
-            except (OSError, json.JSONDecodeError):
-                return False
-            if committed != self.context:
+        if self.context is not None and committed.get("context") != self.context:
+            return False
+        # Input-chain validation: a snapshot is reusable only if every
+        # input stage it was built from is still the SAME committed
+        # snapshot (same run/rows/schema). Without this, re-running with
+        # changed upstream data in one workdir would silently serve stale
+        # results. External inputs (no manifest, e.g. the raw pages scan)
+        # are recorded as null and not validated — callers version those
+        # through ``context``.
+        recorded = committed.get("input_fingerprints", {})
+        for inp, fp in recorded.items():
+            cur = self._load_manifest(inp)
+            if fp is not None and (
+                cur is None or self._fingerprint_of(cur) != fp
+            ):
                 return False
         return True
 
@@ -83,9 +109,20 @@ class StageStore:
         repartition_by: str | None = None,
     ) -> DataFrame:
         """Commit a stage table; returns the committed table (fresh scan,
-        which also truncates the logical plan the way a checkpoint does)."""
+        which also truncates the logical plan the way a checkpoint does).
+
+        Crash-safe ordering: the stage's manifest is REMOVED before the
+        data directory is touched, so a crash mid-write can never leave
+        fresh data readable under a stale manifest — a manifest on disk
+        always describes fully-committed data (it is written last,
+        atomically via rename).
+        """
         t0 = time.monotonic()
         path = self._data_path(name)
+        try:
+            os.remove(self._manifest_path(name))
+        except FileNotFoundError:
+            pass
         writer = df
         if repartition_by:
             writer = df.repartition(F.col(repartition_by))
@@ -112,6 +149,12 @@ class StageStore:
         n_rows = int(part_metrics["rows"].sum())
         elapsed = time.monotonic() - t0
 
+        input_fingerprints = {}
+        for inp in inputs:
+            m = self._load_manifest(inp)
+            input_fingerprints[inp] = (
+                self._fingerprint_of(m) if m is not None else None
+            )
         manifest = {
             "stage": name,
             "run_id": self.run_id,
@@ -119,6 +162,7 @@ class StageStore:
             "rows": n_rows,
             "schema": committed.schema.json(),
             "inputs": list(inputs),
+            "input_fingerprints": input_fingerprints,
             "elapsed_sec": round(elapsed, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }

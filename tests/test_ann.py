@@ -33,8 +33,11 @@ class TestAnnLsh:
     def test_planted_neighbors_found(self, spark):
         pdf = _clustered_vectors()
         df = spark.createDataFrame(pdf)
+        # small-N config: 8-bit bands maximize recall at moderate cosine
+        # (~0.68 here); bucket blowup is a non-issue at N=120. The wide
+        # 16-bit default targets the near-dup regime at corpus scale.
         topk = ann_lsh_topk(
-            df, "vec_id", "embedding", DIM, k=5,
+            df, "vec_id", "embedding", DIM, k=5, n_planes=64, bits_per_band=8,
             query_filter=F.col("vec_id") < 20,
         ).toPandas()
         truth = dict(zip(pdf.vec_id, pdf.cluster))
@@ -56,7 +59,7 @@ class TestAnnLsh:
         pdf = _clustered_vectors(n_clusters=3, per_cluster=8)
         df = spark.createDataFrame(pdf)
         topk = ann_lsh_topk(
-            df, "vec_id", "embedding", DIM, k=3,
+            df, "vec_id", "embedding", DIM, k=3, n_planes=64, bits_per_band=8,
             query_filter=F.col("vec_id") == 0,
         ).toPandas().sort_values("rnk")
         vecs = {r.vec_id: np.array(r.embedding) for r in pdf.itertuples()}
@@ -71,7 +74,30 @@ class TestAnnLsh:
     def test_deterministic(self, spark):
         pdf = _clustered_vectors(n_clusters=2, per_cluster=6)
         df = spark.createDataFrame(pdf)
-        a = ann_lsh_topk(df, "vec_id", "embedding", DIM, k=3).toPandas()
-        b = ann_lsh_topk(df, "vec_id", "embedding", DIM, k=3).toPandas()
+        a = ann_lsh_topk(df, "vec_id", "embedding", DIM, k=3,
+                         n_planes=64, bits_per_band=8).toPandas()
+        b = ann_lsh_topk(df, "vec_id", "embedding", DIM, k=3,
+                         n_planes=64, bits_per_band=8).toPandas()
         key = ["query_id", "rnk"]
         assert a.sort_values(key).neighbor_id.tolist() == b.sort_values(key).neighbor_id.tolist()
+
+
+    def test_hot_bucket_cap_bounds_candidates(self, spark):
+        """bucket_cap keeps the neighbor side of every band bucket bounded:
+        with cap=3 no query can see more than 3*n_bands distinct candidates,
+        and results stay deterministic."""
+        pdf = _clustered_vectors(n_clusters=1, per_cluster=40)
+        df = spark.createDataFrame(pdf)
+        capped = ann_lsh_topk(
+            df, "vec_id", "embedding", DIM, k=39, n_planes=64, bits_per_band=8,
+            bucket_cap=3,
+        ).toPandas()
+        per_q = capped.groupby("query_id").size()
+        assert (per_q <= 3 * 8).all()
+        again = ann_lsh_topk(
+            df, "vec_id", "embedding", DIM, k=39, n_planes=64, bits_per_band=8,
+            bucket_cap=3,
+        ).toPandas()
+        key = ["query_id", "rnk"]
+        assert capped.sort_values(key).neighbor_id.tolist() == \
+            again.sort_values(key).neighbor_id.tolist()

@@ -64,3 +64,27 @@ class TestResume:
         lin = {r.stage: r.inputs for r in lineage.collect()}
         assert "prepared" in lin["features"]
         assert "dup_pairs" in lin["assignments"]
+
+
+class TestStaleInputInvalidation:
+    def test_rebuilt_input_invalidates_downstream(self, spark, tmp_path):
+        """Round-1 advice: a snapshot must not be served when its INPUT
+        stage was rebuilt — manifests record input fingerprints
+        (run/rows/schema) and exists() validates the chain."""
+        from sift_kg_spark.tableio import StageStore
+
+        store = StageStore(spark, str(tmp_path / "wd"), context={"v": 1})
+        a1 = spark.range(5).toDF("x")
+        store.write("a", a1)
+        store.write("b", a1.selectExpr("x * 2 AS y"), inputs=("a",))
+        assert store.exists("a") and store.exists("b")
+
+        # rebuild A with different data (new run fingerprint)
+        store2 = StageStore(spark, str(tmp_path / "wd"), context={"v": 1})
+        store2.write("a", spark.range(9).toDF("x"))
+        assert store2.exists("a")
+        assert not store2.exists("b")  # stale chain detected
+
+        # recommitting B against the new A heals the chain
+        store2.write("b", store2.read("a").selectExpr("x * 2 AS y"), inputs=("a",))
+        assert store2.exists("b")

@@ -93,6 +93,18 @@ class TestCandidatePairs:
         got = {(r.uid_a, r.uid_b) for r in candidate_pairs(keys, CFG).collect()}
         assert got == {(3, 4)}
 
+    def test_single_simchunk_key_survives_gate(self, spark):
+        # Pigeonhole guarantee (round-1 advice): a pair at Hamming
+        # n_chunks-2 spread over two chunks shares exactly ONE chunk-pair
+        # key — it must NOT be dropped by the anchor-only >= 2 gate.
+        SC = 0b1001  # simchunk-channel key (tag 1)
+        keys = self._keys(spark, [(5, "en", SC), (6, "en", SC)])
+        got = {
+            (r.uid_a, r.uid_b, r.channel)
+            for r in candidate_pairs(keys, CFG).collect()
+        }
+        assert got == {(5, 6, "simchunk")}
+
 
 class TestConnectedComponents:
     def _edges(self, spark, pairs):

@@ -122,3 +122,21 @@ class TestPairTable:
             (F.col("channel") != "exact") & (F.col("url_a") >= F.col("url_b"))
         ).count()
         assert bad == 0
+
+
+class TestUidCollisionRescue:
+    def test_colliding_uids_rekeyed(self, spark):
+        """Two urls landing on the same 64-bit uid must be deterministically
+        re-keyed apart (round-1 advice: ~27k colliding pairs expected at the
+        10^12 design point — rescued, not assumed away)."""
+        from sift_kg_spark.pipeline import rekey_uid_collisions
+
+        df = spark.createDataFrame(
+            [(1, "u1"), (1, "u2"), (5, "u3")], "doc_uid long, url string"
+        )
+        out = {r.url: r.doc_uid for r in rekey_uid_collisions(df).collect()}
+        assert out["u3"] == 5            # non-colliding rows untouched
+        assert out["u1"] != out["u2"]    # collision resolved
+        # deterministic: same input -> same rekeyed values
+        out2 = {r.url: r.doc_uid for r in rekey_uid_collisions(df).collect()}
+        assert out == out2

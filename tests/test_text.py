@@ -68,6 +68,23 @@ class TestNormalize:
     def test_none(self):
         assert normalize_text_py(None) is None
 
+    def test_non_latin_scripts_preserved(self):
+        # Regression (round-1 advice): the old ascii-ignore fold deleted
+        # every CJK/Cyrillic codepoint, so unrelated non-Latin documents
+        # normalized to identical punctuation husks and mass false-merged.
+        zh_a = "中文网页内容, 第一页."
+        zh_b = "完全不同的文章, 第二篇."
+        na, nb = normalize_text_py(zh_a), normalize_text_py(zh_b)
+        assert na != nb
+        assert len(na) > 5 and len(nb) > 5
+        ru = normalize_text_py("Привет Мир")
+        assert "привет" in ru  # casefolded, kept
+
+    def test_combining_marks_stripped_accents_fold(self):
+        # e + COMBINING ACUTE == precomposed é == plain e after the fold
+        assert normalize_text_py("café") == normalize_text_py("café")
+        assert normalize_text_py("café") == "cafe"
+
 
 class TestByteIdentity:
     def test_spark_udf_matches_oracle(self, spark, corpus):

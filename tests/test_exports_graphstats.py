@@ -1,0 +1,159 @@
+"""Exports (S12/X10) + cluster-graph stats (A8/G3/W3): round-trips,
+parallel-edge merging, bridge/cross-cluster semantics on a controlled
+two-cluster-plus-bridge graph (the reference's test_communities.py:8-38
+shape)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from sift_kg_spark.exports import (
+    export_csv,
+    export_node_link_jsonl,
+    flatten_for_export,
+    merge_parallel_edges,
+    node_link_dict,
+    read_csv_export,
+)
+from sift_kg_spark.operators.graphstats import (
+    bridge_docs,
+    cross_cluster_pair_counts,
+    degrees,
+    top_hubs_with_neighbors,
+)
+
+PAIR_SCHEMA = (
+    "url_a string, url_b string, channel string, jaccard double,"
+    " hamming int, span int, status string"
+)
+
+
+def _pairs(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "b", "minhash", 0.9, 2, None, "confirmed"),
+            ("a", "b", "simchunk", 0.9, 2, None, "flagged"),  # parallel edge
+            ("b", "c", "anchor", 0.4, 9, 300, "confirmed"),
+            ("c", "d", "minhash", 0.2, 20, None, "rejected"),
+        ],
+        PAIR_SCHEMA,
+    )
+
+
+def _assignments(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "a", "a", 3), ("b", "a", "a", 3), ("c", "a", "a", 3),
+            ("d", "d", "d", 2), ("e", "d", "d", 2),
+            ("f", "f", "f", 1),
+        ],
+        "url string, cluster_id string, canonical_url string, cluster_size int",
+    )
+
+
+class TestExports:
+    def test_merge_parallel_edges(self, spark):
+        merged = {
+            (r.url_a, r.url_b): r
+            for r in merge_parallel_edges(_pairs(spark)).collect()
+        }
+        ab = merged[("a", "b")]
+        assert ab.n_parallel == 2
+        assert ab.channels == "minhash; simchunk"
+        assert ab.status == "confirmed"  # precedence over flagged
+        assert merged[("c", "d")].status == "rejected"
+
+    def test_flatten_arrays_and_structs(self, spark):
+        df = spark.createDataFrame(
+            [("x", ["p", "q"], {"k": "v"})],
+            "id string, tags array<string>, attrs map<string,string>",
+        )
+        row = flatten_for_export(df).collect()[0]
+        assert row.tags == "p; q"
+        assert json.loads(row.attrs) == {"k": "v"}
+
+    def test_csv_roundtrip(self, spark, tmp_path):
+        path = str(tmp_path / "pairs_csv")
+        export_csv(_pairs(spark), path, single_file=True)
+        back = read_csv_export(spark, path)
+        assert back.count() == 4
+        assert set(back.columns) == set(_pairs(spark).columns)
+        got = {
+            (r.url_a, r.url_b, r.status)
+            for r in back.select("url_a", "url_b", "status").collect()
+        }
+        assert ("a", "b", "confirmed") in got
+
+    def test_node_link_jsonl(self, spark, tmp_path):
+        out = str(tmp_path / "graph")
+        export_node_link_jsonl(_assignments(spark), _pairs(spark), out)
+        nodes = spark.read.json(f"{out}/nodes")
+        links = spark.read.json(f"{out}/links")
+        assert nodes.count() == 6
+        assert links.count() == 3  # parallel a-b merged
+        canon = {r.id: r.is_canonical for r in nodes.collect()}
+        assert canon["a"] and not canon["b"]
+
+    def test_node_link_dict_and_guard(self, spark):
+        d = node_link_dict(_assignments(spark), _pairs(spark))
+        assert {n["id"] for n in d["nodes"]} == {"a", "b", "c", "d", "e", "f"}
+        assert len(d["links"]) == 3
+        try:
+            node_link_dict(_assignments(spark), _pairs(spark), max_rows=2)
+            raise AssertionError("guard did not trip")
+        except ValueError:
+            pass
+
+
+class TestGraphStats:
+    # two triangles bridged by one flagged edge + a spoke
+    EDGES = [
+        ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+        ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+        ("a3", "b1"),          # cross-cluster bridge
+        ("a1", "b2"),          # second cross edge
+    ]
+    ASSIGN = [
+        ("a1", "A"), ("a2", "A"), ("a3", "A"),
+        ("b1", "B"), ("b2", "B"), ("b3", "B"),
+    ]
+
+    def _fix(self, spark):
+        edges = spark.createDataFrame(self.EDGES, "url_a string, url_b string")
+        assign = spark.createDataFrame(
+            self.ASSIGN, "url string, cluster_id string"
+        )
+        return edges, assign
+
+    def test_degrees(self, spark):
+        edges, _ = self._fix(spark)
+        deg = {r.url: r.degree for r in degrees(edges).collect()}
+        assert deg["a1"] == 3 and deg["a3"] == 3 and deg["b3"] == 2
+
+    def test_top_hubs_with_neighbors(self, spark):
+        edges, _ = self._fix(spark)
+        hubs = top_hubs_with_neighbors(edges, n=2).toPandas()
+        # deterministic rank: degree desc then url asc -> a1, a3 (both 3)
+        assert set(hubs[hubs["rank"] == 1].hub_url) == {"a1"}
+        assert set(hubs[hubs["rank"] == 2].hub_url) == {"a3"}
+        a1_nbrs = set(hubs[hubs.hub_url == "a1"].neighbor_url)
+        assert a1_nbrs == {"a2", "a3", "b2"}
+
+    def test_cross_cluster_pair_counts(self, spark):
+        edges, assign = self._fix(spark)
+        rows = cross_cluster_pair_counts(edges, assign).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.cluster_a, r.cluster_b) == ("A", "B")
+        assert r.n_edges == 2
+        assert r.n_bridge_docs == 4  # a3, b1, a1, b2
+
+    def test_bridge_docs(self, spark):
+        edges, assign = self._fix(spark)
+        got = {r.url: r for r in bridge_docs(edges, assign).collect()}
+        assert set(got) == {"a3", "b1", "a1", "b2"}
+        assert got["a3"].own_cluster == "A"
+        assert got["a3"].n_foreign_clusters == 1
+        assert got["a3"].n_cross_edges == 1

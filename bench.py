@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "dedup_lsh_candidates",
     "ngram_jaccard_pairs",
     "embedding_cosine_topk",
+    "ann_lsh_topk_embeddings",
+    "multimodal_ann_twins",
+    "cluster_pair_stats",
     "tpch_q1_pricing",
     "region_revenue",
     "top3_customers_per_nation",

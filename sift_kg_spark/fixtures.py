@@ -490,8 +490,12 @@ def write_corpus(outdir: str, n_pages: int, seed: int = 42) -> None:
     expected_text = pages[["url", "true_text"]].rename(
         columns={"true_text": "text"}
     )
+    # Small row groups: Spark splits a parquet FILE only at row-group
+    # boundaries — a single-row-group file makes the initial scan ONE task
+    # regardless of cluster size (measured as a ~30% non-scaling component
+    # of the pipeline at sf0.3 before this fix).
     pages.drop(columns=["true_text"]).to_parquet(
-        os.path.join(outdir, "pages.parquet"), index=False
+        os.path.join(outdir, "pages.parquet"), index=False, row_group_size=8192
     )
     expected_text.to_parquet(os.path.join(outdir, "expected_text.parquet"), index=False)
     pairs.to_parquet(os.path.join(outdir, "expected_pairs.parquet"), index=False)

@@ -212,7 +212,13 @@ def run_dedup(
             # No snapshot dir: cache instead, so multi-consumer stages
             # (docs, features, dup_pairs feed 2+ downstream stages) are
             # computed once per run, not once per downstream action.
-            return build().persist()
+            # Serialized level: the feature stage's shingle arrays cached
+            # deserialized exceed executor memory past ~500k docs and
+            # thrash; production runs should pass a workdir (per-stage
+            # snapshots free memory stage by stage).
+            from pyspark import StorageLevel
+
+            return build().persist(StorageLevel.MEMORY_AND_DISK)
         return store.stage(name, build, inputs=inputs, resume=resume)
 
     n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -280,7 +286,11 @@ def run_dedup(
                 "uid_b",
             )
         ).select("uid_a", "uid_b", "text_a", "text_b")
-        return confirm_spans(flagged_texts, cfg)
+        # Explicit exchange: the flagged-pair join output is small in
+        # BYTES, so AQE coalesces it to 1-2 partitions — but the suffix
+        # stage is Python-CPU-bound per ROW; re-spread it across the
+        # cluster before mapInPandas.
+        return confirm_spans(flagged_texts.repartition(n_partitions), cfg)
 
     spans = commit("spans", build_spans, ("verified", "prepared"))
 

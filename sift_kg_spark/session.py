@@ -17,17 +17,21 @@ def get_spark(
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession configured for the dedup pipeline.
 
-    ``cores=None`` means: respect an existing master / spark-submit master,
-    defaulting to ``local[$SPARK_GRAFT_CPUS or *]`` when standalone.
+    ``master`` overrides everything (e.g. ``local-cluster[8,4,7168]`` for
+    real multi-JVM executors on one box). Otherwise ``cores=None`` means:
+    respect an existing master / spark-submit master, defaulting to
+    ``local[$SPARK_GRAFT_CPUS or *]`` when standalone.
     """
-    if cores is None:
-        cores_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cores_env}]"
-    else:
-        master = f"local[{cores}]"
+    if master is None:
+        if cores is None:
+            cores_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            master = f"local[{cores_env}]"
+        else:
+            master = f"local[{cores}]"
 
     n_shuffle = shuffle_partitions
     if n_shuffle is None:
@@ -61,6 +65,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # localCheckpoint materialization counts checkpointed blocks
+        # against maxResultSize; the 1g default aborts mid-size CC runs.
+        .config("spark.driver.maxResultSize", os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"))
+        # Smaller scan splits: fixture/crawl files compress ~10x, so a
+        # 128MB split decompresses to >1GB of work — too coarse to keep
+        # all cores busy on medium inputs.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     )
     if not os.environ.get("SPARK_GRAFT_KEEP_MASTER"):
         builder = builder.master(master)

@@ -129,14 +129,26 @@ class StageStore:
         writer.write.mode("overwrite").parquet(path)
         committed = self.spark.read.parquet(path)
 
-        # Per-partition metrics: one distributed aggregation; the result is
-        # O(partitions) rows, so the append itself is a driver-side parquet
-        # write (at cluster scale this would be a writeTo(...).append() to an
-        # Iceberg metrics table — same data, same shape).
-        part_metrics = (
-            committed.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("rows"))
-            .toPandas()
+        # Per-partition metrics from the parquet FOOTERS (one written file
+        # per partition): O(partitions) driver-side footer reads, zero
+        # extra Spark jobs — the previous groupBy(spark_partition_id)
+        # re-scanned every committed table once per stage. At cluster
+        # scale this would be a writeTo(...).append() to an Iceberg
+        # metrics table — same data, same shape.
+        import glob as _glob
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        files = sorted(_glob.glob(os.path.join(path, "part-*.parquet")))
+        part_metrics = pd.DataFrame(
+            {
+                "partition_id": pd.array(range(len(files)), dtype="int64"),
+                "rows": pd.array(
+                    [pq.ParquetFile(f).metadata.num_rows for f in files],
+                    dtype="int64",
+                ),
+            }
         )
         part_metrics["run_id"] = self.run_id
         part_metrics["stage"] = name
@@ -170,8 +182,6 @@ class StageStore:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=2)
         os.replace(tmp, self._manifest_path(name))  # atomic commit
-
-        import pandas as pd
 
         lineage_dir = os.path.join(self.workdir, "_lineage.parquet")
         os.makedirs(lineage_dir, exist_ok=True)

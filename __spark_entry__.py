@@ -898,6 +898,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_ann_twins"] = multimodal_ann_twins
 
+    def entity_name_keys(spark, sf):
+        # X2/X3: entity-name blocking key (ref prededup.py:104-117) —
+        # fixpoint title strip + rule-based per-word singularization, all
+        # JVM-side (one regexp_replace + transform/when; no UDF). Names
+        # are derived deterministically from the documents table: two
+        # stacked titles (exercises the fixpoint) + the first three text
+        # words + a plural tail.
+        from sift_kg_spark.functions.names import entity_name_key
+
+        t1 = F.array(
+            F.lit("dr."), F.lit("special agent"), F.lit("mrs."),
+            F.lit("vice president"), F.lit("judge"),
+        )
+        t2 = F.array(
+            F.lit("det."), F.lit("prof."), F.lit("lady"),
+            F.lit("sen."), F.lit("miss"),
+        )
+        idx = (F.col("doc_id") % 5 + 1).cast("int")
+        raw = F.concat_ws(
+            " ",
+            F.element_at(t1, idx),
+            F.element_at(t2, idx),
+            F.substring_index(F.col("text"), " ", 3),
+            F.lit("studies"),
+        )
+        return _t(spark, sf, "documents").select(
+            "doc_id", entity_name_key(raw).alias("name_key")
+        )
+
+    q["entity_name_keys"] = entity_name_keys
+
     return q
 
 
@@ -1337,6 +1368,50 @@ def oracle_sql() -> dict[str, str]:
     o["multimodal_ann_twins"] = """
         SELECT doc_id, 1 AS twin_is_rank1
         FROM documents WHERE doc_id % 20 = 0
+    """
+
+    # Same frozen prefix list / rule set as sift_kg_spark/functions/names.py
+    # (import kept out of the SQL string: the driver only sees the dict).
+    from sift_kg_spark.functions.names import TITLE_PREFIX_REGEX
+
+    o["entity_name_keys"] = f"""
+        WITH raw AS (
+            SELECT doc_id,
+                concat_ws(' ',
+                    (['dr.', 'special agent', 'mrs.', 'vice president',
+                      'judge'])[CAST(doc_id % 5 + 1 AS INT)],
+                    (['det.', 'prof.', 'lady', 'sen.', 'miss'])
+                        [CAST(doc_id % 5 + 1 AS INT)],
+                    array_to_string(list_slice(string_split(text, ' '), 1, 3), ' '),
+                    'studies') AS name
+            FROM documents
+        ),
+        stripped AS (
+            SELECT doc_id,
+                trim(regexp_replace(lower(trim(name)),
+                                    '{TITLE_PREFIX_REGEX}', '')) AS k
+            FROM raw
+        )
+        SELECT doc_id,
+            array_to_string(list_transform(string_split(k, ' '), w -> CASE
+                WHEN w = 'men' THEN 'man'
+                WHEN w = 'women' THEN 'woman'
+                WHEN w = 'children' THEN 'child'
+                WHEN w = 'people' THEN 'person'
+                WHEN w = 'mice' THEN 'mouse'
+                WHEN w = 'geese' THEN 'goose'
+                WHEN w = 'feet' THEN 'foot'
+                WHEN w = 'teeth' THEN 'tooth'
+                WHEN ends_with(w, 'ss') OR ends_with(w, 'us')
+                     OR ends_with(w, 'is') THEN w
+                WHEN ends_with(w, 'ies') AND length(w) >= 5
+                     THEN left(w, length(w) - 3) || 'y'
+                WHEN ends_with(w, 'sses') OR ends_with(w, 'xes')
+                     OR ends_with(w, 'ches') OR ends_with(w, 'shes')
+                     OR ends_with(w, 'zes') THEN left(w, length(w) - 2)
+                WHEN ends_with(w, 's') THEN left(w, length(w) - 1)
+                ELSE w END), ' ') AS name_key
+        FROM stripped
     """
 
     return o

@@ -69,7 +69,13 @@ def child(master: str, cores: int, pages_path: str) -> int:
     import shutil
     import tempfile
 
-    wd = tempfile.mkdtemp(prefix=f"scaling_wd_{cores}_")
+    # Snapshots on the fast scratch: a real cluster writes stage snapshots
+    # to a distributed FS whose bandwidth scales with the fleet; this VM's
+    # root disk does ~23 MB/s buffered, which would serialize every level
+    # behind one writeback path (see session._local_scratch_dir).
+    from sift_kg_spark.session import _local_scratch_dir
+
+    wd = tempfile.mkdtemp(prefix=f"scaling_wd_{cores}_", dir=_local_scratch_dir())
     t0 = time.monotonic()
     res = run_dedup(spark, pages, DedupConfig(), workdir=wd, resume=False)
     res.assignments.count()
@@ -163,10 +169,12 @@ Pipeline measured: full near-duplicate job (extract -> normalize -> exact
 dedup -> MinHash/LSH candidate exchange -> Jaccard/SimHash verify ->
 suffix-array confirm -> connected components -> canonical assignment).
 """
+    # SCALING.md is the curated full-history doc; each run lands in
+    # SCALING_LATEST.md and gets folded into the history by hand.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "SCALING.md"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", "SCALING_LATEST.md"), "w") as fh:
         fh.write(md)
-    print(f"efficiency={eff:.3f} -> BENCH/SCALING.md")
+    print(f"efficiency={eff:.3f} -> BENCH/SCALING_LATEST.md")
     return 0
 
 

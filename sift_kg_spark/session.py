@@ -11,6 +11,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_scratch_dir() -> str:
+    """Fastest writable scratch for shuffle files and spills.
+
+    Priority: $SPARK_GRAFT_LOCAL_DIR > /dev/shm/sift_kg_spark_local (when
+    /dev/shm is a writable tmpfs) > /tmp. Equivalent of pointing
+    spark.local.dir at node-local NVMe on a real deployment.
+    """
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    shm = "/dev/shm/sift_kg_spark_local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        probe = os.path.join(shm, ".probe")
+        with open(probe, "w") as fh:
+            fh.write("x")
+        os.remove(probe)
+        return shm
+    except OSError:
+        return "/tmp"
+
+
 def get_spark(
     app_name: str = "sift_kg_spark",
     cores: int | None = None,
@@ -72,6 +95,13 @@ def get_spark(
         # 128MB split decompresses to >1GB of work — too coarse to keep
         # all cores busy on medium inputs.
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # Shuffle/spill local dir: on a real cluster this points at each
+        # node's NVMe scratch. On this sandbox VM, buffered writes to the
+        # root disk run at ~23 MB/s (page-cache writeback pathology;
+        # direct IO on the same disk does 417 MB/s, tmpfs 1.9 GB/s) —
+        # leaving shuffles there serializes every core behind one slow
+        # writeback path. tmpfs is the honest per-node-scratch analog.
+        .config("spark.local.dir", _local_scratch_dir())
     )
     if not os.environ.get("SPARK_GRAFT_KEEP_MASTER"):
         builder = builder.master(master)

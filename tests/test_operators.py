@@ -140,6 +140,42 @@ class TestConnectedComponents:
         labels = {r.url: r.cluster_id for r in connected_components(edges).collect()}
         assert len(set(labels.values())) == 1
 
+    def test_star_contraction_parity_random(self, spark):
+        """Kiveris large-star/small-star must agree with min-label
+        propagation on a random multi-component graph."""
+        import random
+
+        rng = random.Random(7)
+        pairs = [
+            (f"n{rng.randrange(120):03d}", f"n{rng.randrange(120):03d}")
+            for _ in range(90)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        edges = self._edges(spark, pairs)
+        ref = {r.url: r.cluster_id
+               for r in connected_components(edges, algorithm="label").collect()}
+        got = {r.url: r.cluster_id
+               for r in connected_components(edges, algorithm="star").collect()}
+        assert got == ref
+
+    def test_star_contraction_long_chain(self, spark):
+        """A 200-node chain: diameter 199 >> log2(200). Star contraction
+        must converge well inside the iteration cap (where propagation
+        would need ~200 rounds), and auto mode must fall back to it."""
+        n = 200
+        pairs = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(n - 1)]
+        edges = self._edges(spark, pairs)
+        got = {r.url: r.cluster_id
+               for r in connected_components(
+                   edges, max_iterations=25, algorithm="star").collect()}
+        assert set(got.values()) == {"c0000"}
+        assert len(got) == n
+        auto = {r.url: r.cluster_id
+                for r in connected_components(
+                    edges, max_iterations=25, algorithm="auto",
+                    auto_switch_rounds=5).collect()}
+        assert auto == got
+
 
 class TestVerifyThresholds:
     def test_three_way_split(self, spark):

@@ -102,6 +102,10 @@ def main() -> int:
     p.add_argument("--exec-mem-mb", type=int, default=7168)
     p.add_argument("--levels", default="2,8",
                    help="executor counts (local-cluster) or core counts (local)")
+    p.add_argument("--cooldown", type=int, default=0,
+                   help="seconds to sleep between runs (lets the host's "
+                        "page-reclaim state settle; its throughput drifts "
+                        "2x with recent memory pressure)")
     p.add_argument("--child", action="store_true")
     p.add_argument("--master")
     p.add_argument("--cores", type=int)
@@ -138,9 +142,11 @@ def main() -> int:
             )
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
             r = json.loads(line)
-            print(json.dumps(r))
+            print(json.dumps(r), flush=True)
             if level not in results or r["elapsed_sec"] < results[level]["elapsed_sec"]:
                 results[level] = r
+            if args.cooldown:
+                time.sleep(args.cooldown)
 
     lo, hi = min(levels), max(levels)
     ratio = results[hi]["cores"] / results[lo]["cores"]

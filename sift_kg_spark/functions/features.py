@@ -3,7 +3,8 @@
 One Arrow-vectorized pass per batch computes everything downstream stages
 need, so the (expensive) tokenize/hash work happens exactly once per doc:
 
-  * ``shingles``  — sorted-unique k-gram shingle hashes (int64 bit-view);
+  * ``shingles``  — sorted-unique k-gram shingle hashes, stored as the
+                    low 32 bits (equality-only use; halves the exchange);
                     the exact-Jaccard verify stage intersects these.
   * ``minhash``   — num_perm MinHash values.
   * ``bands``     — LSH band keys (the candidate-generation exchange key).
@@ -28,7 +29,7 @@ from sift_kg_spark.config import DedupConfig
 from sift_kg_spark.functions import hashing as H
 
 FEATURE_SCHEMA = (
-    "n_tokens int, n_shingles int, shingles array<bigint>, "
+    "n_tokens int, n_shingles int, shingles array<int>, "
     "minhash array<bigint>, bands array<bigint>, simhash bigint, "
     "simchunks array<bigint>, keys array<bigint>"
 )
@@ -54,6 +55,19 @@ def compute_features_pdf(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
 
     n_tokens = np.diff(offsets).astype(np.int32)
     sorted_shingles = [np.sort(s.view(np.int64)) for s in sets]
+    # Stored shingle sets are truncated to the low 32 bits: the verify
+    # stage uses them ONLY for equality (exact Jaccard), and 32 bits keep
+    # the expected per-pair collision count at ~|A||B|/2^32 ≈ 1e-4 for
+    # typical web pages — while HALVING the widest column in the feature
+    # snapshot, both verify joins, and the Arrow transfer into the
+    # Jaccard UDF. MinHash/band/anchor keys are still derived from the
+    # full 64-bit domain above. np.unique re-sorts and dedups after
+    # truncation, so each stored set stays sorted-unique (int32 order).
+    stored_shingles = [
+        np.unique((s.view(np.uint64) & np.uint64(0xFFFFFFFF))
+                  .astype(np.uint32).view(np.int32))
+        for s in sets
+    ]
 
     # Packed blocking keys: one int64 per key, channel tag in the low
     # 2 bits — the whole candidate exchange then shuffles a single long
@@ -73,8 +87,10 @@ def compute_features_pdf(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "n_tokens": n_tokens,
-            "n_shingles": np.array([len(s) for s in sets], dtype=np.int32),
-            "shingles": sorted_shingles,
+            "n_shingles": np.array(
+                [len(s) for s in stored_shingles], dtype=np.int32
+            ),
+            "shingles": stored_shingles,
             "minhash": list(sig.view(np.int64)),
             "bands": list(bands.view(np.int64)),
             "simhash": sim.view(np.int64),

@@ -6,8 +6,8 @@ as DRAFT for review (/root/reference/src/sift_kg/resolve/reviewer.py:39-77,
 resolve/models.py:12-41). Our deterministic equivalents:
 
   score 1: exact Jaccard over the k-shingle hash sets of the pair
-           (computed via a vectorized pandas UDF: np.intersect1d over the
-           sorted-unique int64 arrays both docs already carry);
+           (vectorized pandas UDF: one lexsort + bincount per Arrow batch
+           over the sorted-unique int32 arrays both docs already carry);
   score 2: SimHash64 Hamming distance — JVM-side, just
            ``bit_count(simhash_a ^ simhash_b)``, no Python;
   score 3: longest shared byte span (suffix-array stage, operators/suffix) —
@@ -59,8 +59,10 @@ def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
             continue
         len_a[i] = len(xa)
         len_b[i] = len(xb)
-        arrs.append(np.asarray(xa, dtype=np.int64))
-        arrs.append(np.asarray(xb, dtype=np.int64))
+        # dtype-agnostic: int32 stored shingles stay int32 through the
+        # lexsort (half the sort bytes); int64 inputs still work.
+        arrs.append(np.asarray(xa))
+        arrs.append(np.asarray(xb))
     union_max = len_a + len_b
     if not arrs:
         return pd.Series(np.zeros(n, dtype=np.float64))
@@ -92,6 +94,19 @@ def verify_pairs(
     them afterwards. Two shuffle hash joins on the int64 uid.
     """
     feat = features.select("doc_uid", "shingles", "simhash")
+
+    # Only docs that appear in at least one candidate pair need to carry
+    # their (wide) shingle arrays into the pair joins — typically a
+    # fraction of the corpus (62% at sf0.3, far less on clean crawls).
+    # Declarative semi-join: AQE broadcasts the distinct-uid set when it
+    # is small and falls back to a shuffle semi when pairs rival the
+    # corpus (where the filter is moot anyway).
+    uids = (
+        pairs.select(F.col("uid_a").alias("doc_uid"))
+        .unionByName(pairs.select(F.col("uid_b").alias("doc_uid")))
+        .distinct()
+    )
+    feat = feat.join(uids, "doc_uid", "leftsemi")
 
     a = feat.select(
         F.col("doc_uid").alias("uid_a"),

@@ -117,6 +117,86 @@ def candidate_pairs(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def candidate_pairs_incremental(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Candidate pairs touching at least one NEW doc (append workflow).
+
+    ``keys``: (doc_uid, lang, key, is_new boolean). Emits the same
+    (uid_a, uid_b, channel, n_keys) shape as :func:`candidate_pairs`, but
+    only pairs with >= 1 new member: base×base pairs were already decided
+    by the base run and never regenerate. Buckets with no new member are
+    dropped at the (map-side-combined) size aggregation, so per-increment
+    cost tracks the NEW keys plus the buckets they touch, not the corpus.
+
+    Pair orientation: a pair is emitted exactly once per shared key —
+    new×new by the uid order on the new side, new×base always from the
+    new side (the base side never drives).
+    """
+    key_cols = ["lang", "key"] if cfg.partition_by_lang else ["key"]
+
+    sizes = (
+        keys.groupBy(*key_cols)
+        .agg(
+            F.count("*").alias("bucket_size"),
+            F.min("doc_uid").alias("bucket_rep"),
+            F.max(F.col("is_new").cast("int")).alias("_has_new"),
+        )
+        .filter((F.col("bucket_size") > 1) & (F.col("_has_new") == 1))
+        .drop("_has_new")
+    )
+    keyed = keys.join(sizes, on=key_cols, how="inner")
+
+    normal = keyed.filter(F.col("bucket_size") <= cfg.hot_band_cap)
+    hot = keyed.filter(F.col("bucket_size") > cfg.hot_band_cap)
+
+    left = normal.filter(F.col("is_new")).select(
+        *key_cols, F.col("doc_uid").alias("uid_x")
+    )
+    right = normal.select(
+        *key_cols,
+        F.col("doc_uid").alias("uid_y"),
+        F.col("is_new").alias("_new_y"),
+    )
+    all_pairs = (
+        left.join(right, on=key_cols, how="inner")
+        .filter(
+            (F.col("uid_x") < F.col("uid_y"))
+            | (~F.col("_new_y") & (F.col("uid_x") != F.col("uid_y")))
+        )
+        .select(
+            F.least("uid_x", "uid_y").alias("uid_a"),
+            F.greatest("uid_x", "uid_y").alias("uid_b"),
+            "key",
+        )
+    )
+
+    star_pairs = (
+        hot.filter(F.col("is_new") & (F.col("doc_uid") != F.col("bucket_rep")))
+        .select(
+            F.least("doc_uid", "bucket_rep").alias("uid_a"),
+            F.greatest("doc_uid", "bucket_rep").alias("uid_b"),
+            "key",
+        )
+    )
+
+    pairs = all_pairs.unionByName(star_pairs)
+    collapsed = (
+        pairs.withColumn(
+            "channel_tag", (F.col("key").bitwiseAND(F.lit(3))).cast("int")
+        )
+        .groupBy("uid_a", "uid_b")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("channel_tag").alias("channel_tag"),
+        )
+        .withColumn("channel", _channel_name())
+        .drop("channel_tag")
+        .select("uid_a", "uid_b", "channel", "n_keys")
+    )
+    return collapsed.filter(
+        (F.col("channel") != "anchor") | (F.col("n_keys") >= 2)
+    )
+
+
 def bucket_size_histogram(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Skew diagnostic for the metrics table: bucket-size distribution per
     channel (log2 buckets)."""

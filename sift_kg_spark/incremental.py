@@ -62,27 +62,39 @@ def run_dedup_incremental(
     base_workdir: str | None = None,
     workdir: str | None = None,
     resume: bool = True,
+    base_tables: dict[str, DataFrame] | None = None,
 ) -> DedupResult:
     """Dedup an append batch against a completed base run.
 
     ``base_workdir``: snapshot dir of the base :func:`run_dedup` run
-    (read-only here). ``workdir``: snapshot dir for this increment's own
-    stages. Returns a :class:`DedupResult` whose ``assignments`` /
-    ``clusters`` cover the COMBINED corpus (base + batch) and whose
-    ``dup_pairs`` / ``review_pairs`` carry only the new evidence.
+    (read-only here). Alternatively ``base_tables`` supplies the base
+    state directly as DataFrames {"prepared", "features", "assignments"}
+    — the streaming wrapper uses this to present a UNION of per-batch
+    generation tables without ever rewriting them. ``workdir``: snapshot
+    dir for this increment's own stages. Returns a :class:`DedupResult`
+    whose ``assignments`` / ``clusters`` cover the COMBINED corpus
+    (base + batch) and whose ``dup_pairs`` / ``review_pairs`` carry only
+    the new evidence.
     """
-    if base_workdir is None:
-        raise ValueError("run_dedup_incremental requires base_workdir")
-    base = StageStore(spark, base_workdir, context=asdict(cfg))
-    for required in ("prepared", "features", "assignments"):
-        if not base.exists(required):
+    if base_tables is not None:
+        base_prepared = base_tables["prepared"]
+        base_features = base_tables["features"]
+        base_assign = base_tables["assignments"]
+    else:
+        if base_workdir is None:
             raise ValueError(
-                f"base run at {base_workdir} lacks committed stage "
-                f"'{required}' (or was produced under a different config)"
+                "run_dedup_incremental requires base_workdir or base_tables"
             )
-    base_prepared = base.read("prepared")
-    base_features = base.read("features")
-    base_assign = base.read("assignments")
+        base = StageStore(spark, base_workdir, context=asdict(cfg))
+        for required in ("prepared", "features", "assignments"):
+            if not base.exists(required):
+                raise ValueError(
+                    f"base run at {base_workdir} lacks committed stage "
+                    f"'{required}' (or was produced under a different config)"
+                )
+        base_prepared = base.read("prepared")
+        base_features = base.read("features")
+        base_assign = base.read("assignments")
 
     store = (
         StageStore(
@@ -163,9 +175,15 @@ def run_dedup_incremental(
     features_udf = make_features_udf(cfg)
 
     def build_features() -> DataFrame:
-        # one representative per NEW distinct sha (sha unseen in base)
+        # One representative per NEW distinct sha — "seen in base" means a
+        # NON-quarantined base row carries it: a sha whose only base
+        # occurrences were quarantined has no base signature and no base
+        # cluster to attach to, so the new doc must be featured itself
+        # (full-run parity for the raw-short/normalized-same edge case).
         new_only = docs.join(
-            base_prepared.select(*group_cols).distinct(),
+            base_prepared.filter(F.col("reason").isNull())
+            .select(*group_cols)
+            .distinct(),
             on=group_cols,
             how="leftanti",
         )

@@ -81,9 +81,28 @@ def get_spark(
         # ~2.5x faster feature extraction at 32 workers vs 2048-row batches.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # SPARK_GRAFT_PRETOUCH=1 adds -Xms=heap -XX:+AlwaysPreTouch:
+        # fault the whole heap in ONCE at JVM startup. On lazily-backed
+        # (ballooned/overcommitted) hosts, first-touch faults are the
+        # scarce resource — without pre-touch they land inside GC
+        # evacuation pauses, inflating GC 10x as the heap grows into
+        # never-touched regions (event-log measurements,
+        # BENCH/SCALING.md). Opt-in because the one-time pre-touch itself
+        # takes minutes when the host's fault path is at its slowest; a
+        # real cluster sets these two flags on its long-lived executors,
+        # where startup cost amortizes over days.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseG1GC"),
+            os.environ.get(
+                "SPARK_GRAFT_JAVA_OPTS",
+                "-XX:+UseG1GC"
+                + (
+                    " -XX:+AlwaysPreTouch -Xms"
+                    + (driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+                    if os.environ.get("SPARK_GRAFT_PRETOUCH")
+                    else ""
+                ),
+            ),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -1,0 +1,68 @@
+"""Structured Streaming ingest -> incremental dedup generations.
+
+A landing directory with three single-file batches drains through
+``stream_dedup`` (availableNow, one file per micro-batch): generation 0
+bootstraps a full run, generations 1-2 run incrementally against the
+accumulated state. The final generation's assignments must equal a plain
+full run over the whole corpus (same equivalence contract as
+test_incremental, composed across two increments).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sift_kg_spark.pipeline import run_dedup
+from sift_kg_spark.streaming import latest_generation, stream_dedup
+
+
+def _amap(df):
+    return {
+        r["url"]: (r["cluster_id"], r["canonical_url"], r["cluster_size"])
+        for r in df.collect()
+    }
+
+
+def test_stream_generations_match_full_run(spark, cfg, corpus, tmp_path_factory):
+    pages_pdf = corpus[0].drop(columns=["true_text"])
+    wd = tmp_path_factory.mktemp("stream")
+    landing = os.path.join(str(wd), "landing")
+
+    full = run_dedup(
+        spark,
+        spark.createDataFrame(pages_pdf),
+        cfg,
+        workdir=os.path.join(str(wd), "full"),
+    )
+    want = _amap(full.assignments)
+
+    # three interleaved single-file batches (classes straddle batches)
+    for i in range(3):
+        spark.createDataFrame(pages_pdf.iloc[i::3]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"batch_{i}.parquet"))
+
+    state = os.path.join(str(wd), "state")
+    q = stream_dedup(
+        spark, landing, state, cfg, max_files_per_trigger=1
+    )
+    q.awaitTermination(900)
+
+    gen = latest_generation(state)
+    assert gen == 2, f"expected 3 generations, got {gen}"
+    got = _amap(
+        spark.read.parquet(
+            os.path.join(state, f"gen={gen}", "assignments.parquet")
+        )
+    )
+    assert set(got) == set(want)
+    mism = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
+    assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
+
+    # each later generation's feature stage holds only unseen texts
+    g1 = spark.read.parquet(os.path.join(state, "gen=1", "features.parquet"))
+    g0 = spark.read.parquet(os.path.join(state, "gen=0", "features.parquet"))
+    overlap = g1.select("url").join(g0.select("url"), "url").count()
+    assert overlap == 0

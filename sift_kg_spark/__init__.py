@@ -25,4 +25,10 @@ from sift_kg_spark.config import DedupConfig
 from sift_kg_spark.session import get_spark
 
 __all__ = ["DedupConfig", "get_spark"]
+
+# heavier entry points, imported lazily by most callers:
+#   sift_kg_spark.pipeline.run_dedup            — full batch run
+#   sift_kg_spark.incremental.run_dedup_incremental — append batch
+#   sift_kg_spark.streaming.stream_dedup        — continuous ingest
+#   sift_kg_spark.exports                        — CSV / node-link JSON
 __version__ = "0.1.0"

@@ -34,6 +34,22 @@ FEATURE_SCHEMA = (
     "simchunks array<bigint>, keys array<bigint>"
 )
 
+# Persisted-feature format version, recorded in every stage-snapshot
+# context. Bump whenever the on-disk feature encoding changes semantics
+# (e.g. the int64 -> int32 shingle truncation): an incremental run must
+# REJECT a base whose features were written under another format —
+# otherwise Spark silently coerces the union (array<int> vs array<bigint>)
+# and every cross-generation Jaccard computes near 0.
+FEATURE_FORMAT = 2
+
+# Columns (name -> Spark type) an incremental run requires of a base
+# feature snapshot, exactly as the current format writes them.
+FEATURE_BASE_DTYPES = {
+    "shingles": "array<int>",
+    "simhash": "bigint",
+    "keys": "array<bigint>",
+}
+
 # channel tag in the low 2 bits of every packed blocking key
 CHANNEL_MINHASH = 0
 CHANNEL_SIMCHUNK = 1

@@ -8,15 +8,19 @@ append workflow against a completed base run's snapshot directory:
 
   1. prepare the new batch (same extraction/normalization/quarantine);
      re-key any doc_uid colliding with the base corpus;
-  2. exact stage: new shas join base representatives (semi-join keeps the
-     base scan pruned to sha/url); star edges within new-only sha groups;
+  2. exact stage: new shas join base representatives; star edges within
+     new-only sha groups;
   3. signatures computed ONLY for new distinct texts — base signatures
      are read back from the base feature snapshot, never recomputed;
-  4. candidate generation over buckets touched by >= 1 new key
-     (operators/lsh.candidate_pairs_incremental) — base×base pairs never
-     regenerate;
-  5. verify/suffix on the new pairs only, reading base features/texts for
-     the base-side docs;
+  4. candidate generation reads the base run's committed exploded-key
+     snapshot (pipeline "keys" stage) and semi-joins it against the
+     batch's distinct keys — only buckets touched by >= 1 new key enter
+     the exchange, so base-side SHUFFLE volume is O(touched buckets), not
+     O(corpus keys), and base features are never re-exploded
+     (operators/lsh.candidate_pairs_incremental pairs them);
+  5. verify/suffix on the new pairs only; the base-side feature/text/url
+     lookups are all (broadcast batch-uid-set) semi-joins against the base
+     snapshots — narrow columnar scans, zero base-side shuffles;
   6. clustering by CONTRACTION: base clusters enter the component graph
      as single supernodes (their cluster_id IS their min-url label), new
      confirmed edges connect supernodes and new docs, and connected
@@ -24,35 +28,88 @@ append workflow against a completed base run's snapshot directory:
      smaller than the corpus. Untouched base clusters are carried over
      without rewriting; only merged clusters recompute the A1 canonical.
 
+Cost model per batch: every base-side access is either a broadcast
+semi/anti join (narrow scan, no exchange) or a broadcast hash join whose
+build side is batch-derived; the only remaining O(corpus) costs are the
+narrow columnar base scans themselves (an Iceberg/bloom-filter index is
+the seam that would prune those too) and the combined `assignments`
+rewrite (an upsert at the Iceberg seam; see streaming.py compaction).
+
 Equivalence contract: per-pair decisions are identical to the full run
 (same deterministic scores/thresholds); the final partition equals the
 full run on the combined corpus whenever candidate coverage does (planted
 -class equivalence is pinned by tests/test_incremental.py). cluster_id =
 min member url and the A1 canonical rule hold globally because min-label
 contraction composes: min(min(A), min(B)) = min(A ∪ B).
-
-At 10^12 scale the base `features` read is pruned to (doc_uid, lang,
-keys) by parquet column pruning; a production deployment would maintain
-the exploded key table as its own bucketed snapshot to avoid even that —
-noted as the Iceberg-upgrade seam (tableio.py docstring).
 """
 
 from __future__ import annotations
-
-from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sift_kg_spark.config import DEFAULT_CONFIG, DedupConfig
-from sift_kg_spark.functions.features import make_features_udf
+from sift_kg_spark.functions.features import (
+    FEATURE_BASE_DTYPES,
+    make_features_udf,
+)
 from sift_kg_spark.operators.components import connected_components
 from sift_kg_spark.operators.exact import exact_dup_pairs
 from sift_kg_spark.operators.lsh import candidate_pairs_incremental, explode_keys
 from sift_kg_spark.operators.suffix import confirm_spans
 from sift_kg_spark.operators.verify import verify_pairs
-from sift_kg_spark.pipeline import PAIR_COLUMNS, DedupResult, prepare_stage
+from sift_kg_spark.pipeline import (
+    PAIR_COLUMNS,
+    DedupResult,
+    prepare_stage,
+    run_context,
+)
 from sift_kg_spark.tableio import StageStore
+
+
+def check_base_features_schema(base_features: DataFrame) -> None:
+    """Reject a base feature snapshot written under another format.
+
+    StageStore's context fingerprint (pipeline.run_context) already
+    rejects cross-version bases at the manifest level; this direct check
+    also covers the ``base_tables`` path and hand-assembled bases. Without
+    it Spark would coerce e.g. an int64-shingle base union to
+    array<bigint> and every cross-generation Jaccard would compute ~0 —
+    silent recall loss.
+    """
+    actual = dict(base_features.dtypes)
+    for col, want in FEATURE_BASE_DTYPES.items():
+        got = actual.get(col)
+        if got != want:
+            raise ValueError(
+                f"base feature snapshot column '{col}' has type {got!r}, "
+                f"current format requires {want!r} — the base was produced "
+                "under an incompatible feature format; re-run the base "
+                "pipeline (or migrate the snapshot) before appending"
+            )
+
+
+def incremental_candidates(
+    new_keys: DataFrame, base_keys: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Candidate pairs for an append batch, base side pruned BY KEY.
+
+    ``new_keys``/``base_keys``: (doc_uid, lang, key) exploded key tables
+    (pipeline "keys" stage shape). The batch's distinct key set is
+    broadcast against the base key snapshot, so only base keys landing in
+    a bucket the batch touches ever enter the pairing exchange — the
+    base-side shuffle is O(touched), not O(corpus). The base FEATURE
+    table is never read here at all.
+    """
+    key_cols = ["lang", "key"] if cfg.partition_by_lang else ["key"]
+    tagged_new = new_keys.withColumn("is_new", F.lit(True))
+    new_key_set = new_keys.select(*key_cols).distinct()
+    touched = base_keys.join(
+        F.broadcast(new_key_set), on=key_cols, how="leftsemi"
+    ).withColumn("is_new", F.lit(False))
+    return candidate_pairs_incremental(
+        tagged_new.unionByName(touched), cfg
+    )
 
 
 def run_dedup_incremental(
@@ -69,23 +126,25 @@ def run_dedup_incremental(
     ``base_workdir``: snapshot dir of the base :func:`run_dedup` run
     (read-only here). Alternatively ``base_tables`` supplies the base
     state directly as DataFrames {"prepared", "features", "assignments"}
-    — the streaming wrapper uses this to present a UNION of per-batch
-    generation tables without ever rewriting them. ``workdir``: snapshot
-    dir for this increment's own stages. Returns a :class:`DedupResult`
-    whose ``assignments`` / ``clusters`` cover the COMBINED corpus
-    (base + batch) and whose ``dup_pairs`` / ``review_pairs`` carry only
-    the new evidence.
+    and optionally {"keys"} — the streaming wrapper uses this to present
+    a UNION of per-batch generation tables without ever rewriting them.
+    ``workdir``: snapshot dir for this increment's own stages. Returns a
+    :class:`DedupResult` whose ``assignments`` / ``clusters`` cover the
+    COMBINED corpus (base + batch) and whose ``dup_pairs`` /
+    ``review_pairs`` carry only the new evidence.
     """
+    base_keys: DataFrame | None = None
     if base_tables is not None:
         base_prepared = base_tables["prepared"]
         base_features = base_tables["features"]
         base_assign = base_tables["assignments"]
+        base_keys = base_tables.get("keys")
     else:
         if base_workdir is None:
             raise ValueError(
                 "run_dedup_incremental requires base_workdir or base_tables"
             )
-        base = StageStore(spark, base_workdir, context=asdict(cfg))
+        base = StageStore(spark, base_workdir, context=run_context(cfg))
         for required in ("prepared", "features", "assignments"):
             if not base.exists(required):
                 raise ValueError(
@@ -95,10 +154,20 @@ def run_dedup_incremental(
         base_prepared = base.read("prepared")
         base_features = base.read("features")
         base_assign = base.read("assignments")
+        if base.exists("keys"):
+            base_keys = base.read("keys")
+    check_base_features_schema(base_features)
+    if base_keys is None:
+        # pre-"keys"-stage base (or hand-assembled base_tables): derive the
+        # key table once from the base features — the one path that still
+        # re-explodes the base; committed bases never take it.
+        base_keys = explode_keys(
+            base_features.select("doc_uid", "lang", "keys"), cfg
+        )
 
     store = (
         StageStore(
-            spark, workdir, context={**asdict(cfg), "base": base_workdir}
+            spark, workdir, context={**run_context(cfg), "base": base_workdir}
         )
         if workdir
         else None
@@ -112,23 +181,37 @@ def run_dedup_incremental(
         return store.stage(name, build, inputs=inputs, resume=resume)
 
     n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    group_cols = ["sha", "lang"] if cfg.partition_by_lang else ["sha"]
+    base_docs = base_prepared.filter(F.col("reason").isNull())
 
     # ---- 1. prepare + base-collision rescue --------------------------------
     def build_prepared() -> DataFrame:
         inc = prepare_stage(new_pages, cfg, n_partitions)
         # Idempotent re-delivery: urls already in the base corpus are not
-        # re-deduped (the base decision stands).
-        inc = inc.join(
-            base_prepared.select("url"), "url", "leftanti"
+        # re-deduped (the base decision stands). The redelivered set is
+        # found by streaming the base url column against the BROADCAST
+        # batch url set (narrow base scan, no exchange), then anti-joining
+        # the tiny hit set back — the batch side is small by definition;
+        # the base side never shuffles.
+        url_hits = base_prepared.select("url").join(
+            F.broadcast(inc.select("url").distinct()), "url", "leftsemi"
         )
+        inc = inc.join(F.broadcast(url_hits), "url", "leftanti")
         # uid uniqueness must hold across base ∪ batch: within-batch
         # collisions were rescued inside prepare_stage; cross-base ones
-        # re-key here (slim int64 semi-join against the base uid column).
-        base_uids = base_prepared.select("doc_uid").withColumn(
-            "_in_base", F.lit(True)
+        # re-key here. Same pattern: narrow base uid scan vs broadcast
+        # batch uid set -> tiny collision table -> broadcast back.
+        uid_hits = (
+            base_prepared.select("doc_uid")
+            .join(
+                F.broadcast(inc.select("doc_uid").distinct()),
+                "doc_uid",
+                "leftsemi",
+            )
+            .withColumn("_in_base", F.lit(True))
         )
         return (
-            inc.join(base_uids, "doc_uid", "left")
+            inc.join(F.broadcast(uid_hits), "doc_uid", "left")
             .withColumn(
                 "doc_uid",
                 F.when(
@@ -146,20 +229,17 @@ def run_dedup_incremental(
     )
 
     # ---- 2. exact: within-batch stars + cross-base attachment --------------
-    group_cols = ["sha", "lang"] if cfg.partition_by_lang else ["sha"]
-
     def build_exact() -> DataFrame:
         within = exact_dup_pairs(docs, cfg)
         new_shas = docs.select(*group_cols).distinct()
         base_reps = (
-            base_prepared.filter(F.col("reason").isNull())
-            .join(new_shas, on=group_cols, how="leftsemi")
+            base_docs.join(F.broadcast(new_shas), on=group_cols, how="leftsemi")
             .groupBy(*group_cols)
             .agg(F.min("url").alias("rep_url"))
         )
         cross = (
             docs.select("url", *group_cols)
-            .join(base_reps, on=group_cols, how="inner")
+            .join(F.broadcast(base_reps), on=group_cols, how="inner")
             .select(
                 F.col("url").alias("url_a"),
                 F.col("rep_url").alias("url_b"),
@@ -180,12 +260,17 @@ def run_dedup_incremental(
         # occurrences were quarantined has no base signature and no base
         # cluster to attach to, so the new doc must be featured itself
         # (full-run parity for the raw-short/normalized-same edge case).
+        # Base shas intersecting the batch are found narrowly (broadcast
+        # batch-sha set), then anti-joined back — the base sha column is
+        # scanned once, never shuffled.
+        batch_shas = docs.select(*group_cols).distinct()
+        base_sha_hits = (
+            base_docs.select(*group_cols)
+            .join(F.broadcast(batch_shas), on=group_cols, how="leftsemi")
+            .distinct()
+        )
         new_only = docs.join(
-            base_prepared.filter(F.col("reason").isNull())
-            .select(*group_cols)
-            .distinct(),
-            on=group_cols,
-            how="leftanti",
+            F.broadcast(base_sha_hits), on=group_cols, how="leftanti"
         )
         reps = (
             new_only.groupBy(*group_cols)
@@ -202,40 +287,51 @@ def run_dedup_incremental(
 
     features = commit("features", build_features, ("prepared",))
 
-    # ---- 4. candidates over buckets touched by new keys --------------------
-    def build_candidates() -> DataFrame:
-        new_keys = explode_keys(features, cfg).withColumn("is_new", F.lit(True))
-        old_keys = explode_keys(
-            base_features.select("doc_uid", "lang", "keys"), cfg
-        ).withColumn("is_new", F.lit(False))
-        return candidate_pairs_incremental(
-            new_keys.unionByName(old_keys), cfg
-        )
-
-    candidates = commit("candidates", build_candidates, ("features",))
-
-    feat_cols = ["doc_uid", "shingles", "simhash"]
-    features_all = features.select(*feat_cols).unionByName(
-        base_features.select(*feat_cols)
+    # batch-only key snapshot: committed so chained increments (streaming
+    # generations) semi-join it instead of re-exploding this batch later.
+    keys_new = commit(
+        "keys", lambda: explode_keys(features, cfg), ("features",)
     )
+
+    # ---- 4. candidates over buckets touched by new keys --------------------
+    candidates = commit(
+        "candidates",
+        lambda: incremental_candidates(keys_new, base_keys, cfg),
+        ("keys",),
+    )
+
+    # ---- 5. verify + suffix: base lookups pruned to candidate uids ---------
+    feat_cols = ["doc_uid", "shingles", "simhash"]
+
+    def build_verified() -> DataFrame:
+        cand_uids = (
+            candidates.select(F.col("uid_a").alias("doc_uid"))
+            .unionByName(candidates.select(F.col("uid_b").alias("doc_uid")))
+            .distinct()
+        )
+        base_needed = base_features.select(*feat_cols).join(
+            F.broadcast(cand_uids), "doc_uid", "leftsemi"
+        )
+        features_all = features.select(*feat_cols).unionByName(base_needed)
+        return verify_pairs(candidates, features_all, cfg)
 
     verified = commit(
-        "verified",
-        lambda: verify_pairs(candidates, features_all, cfg),
-        ("candidates", "features"),
-    )
-
-    # ---- 5. suffix confirm on the still-flagged gray zone ------------------
-    texts_all = docs.select("doc_uid", "text_norm").unionByName(
-        base_prepared.filter(F.col("reason").isNull()).select(
-            "doc_uid", "text_norm"
-        )
+        "verified", build_verified, ("candidates", "features")
     )
 
     def build_spans() -> DataFrame:
         flagged = verified.filter(F.col("status") == "flagged").select(
             "uid_a", "uid_b"
         )
+        f_uids = (
+            flagged.select(F.col("uid_a").alias("doc_uid"))
+            .unionByName(flagged.select(F.col("uid_b").alias("doc_uid")))
+            .distinct()
+        )
+        base_texts = base_docs.select("doc_uid", "text_norm").join(
+            F.broadcast(f_uids), "doc_uid", "leftsemi"
+        )
+        texts_all = docs.select("doc_uid", "text_norm").unionByName(base_texts)
         flagged_texts = (
             flagged.join(
                 texts_all.select(
@@ -256,10 +352,6 @@ def run_dedup_incremental(
     spans = commit("spans", build_spans, ("verified", "prepared"))
 
     # ---- 6. new evidence table (url-named) ---------------------------------
-    urls_all = docs.select("doc_uid", "url").unionByName(
-        base_prepared.select("doc_uid", "url")
-    )
-
     def build_pairs() -> DataFrame:
         scored = verified.join(spans, ["uid_a", "uid_b"], "left")
         span_confirm = (F.col("status") == "flagged") & (
@@ -272,6 +364,15 @@ def run_dedup_incremental(
             "status",
             F.when(span_confirm, F.lit("confirmed")).otherwise(F.col("status")),
         )
+        v_uids = (
+            verified.select(F.col("uid_a").alias("doc_uid"))
+            .unionByName(verified.select(F.col("uid_b").alias("doc_uid")))
+            .distinct()
+        )
+        base_urls = base_prepared.select("doc_uid", "url").join(
+            F.broadcast(v_uids), "doc_uid", "leftsemi"
+        )
+        urls_all = docs.select("doc_uid", "url").unionByName(base_urls)
         named = (
             upgraded.join(
                 urls_all.select(
@@ -308,19 +409,34 @@ def run_dedup_incremental(
             "url_a", "url_b"
         )
         # contract base clusters to their cluster_id supernode (the label
-        # IS the cluster's min url, so min-label CC composes globally)
-        node_of = base_assign.select("url", F.col("cluster_id").alias("node"))
+        # IS the cluster's min url, so min-label CC composes globally).
+        # Only urls that appear in a new edge need their supernode lookup:
+        # prune the assignment map to the (tiny) edge-url set first, then
+        # broadcast it into the left joins — the base assignment table is
+        # scanned narrowly, never shuffled.
+        edge_urls = (
+            edges.select(F.col("url_a").alias("url"))
+            .unionByName(edges.select(F.col("url_b").alias("url")))
+            .distinct()
+        )
+        node_of = base_assign.select(
+            "url", F.col("cluster_id").alias("node")
+        ).join(F.broadcast(edge_urls), "url", "leftsemi")
         contracted = (
             edges.join(
-                node_of.withColumnRenamed("url", "url_a").withColumnRenamed(
-                    "node", "_na"
+                F.broadcast(
+                    node_of.withColumnRenamed("url", "url_a").withColumnRenamed(
+                        "node", "_na"
+                    )
                 ),
                 "url_a",
                 "left",
             )
             .join(
-                node_of.withColumnRenamed("url", "url_b").withColumnRenamed(
-                    "node", "_nb"
+                F.broadcast(
+                    node_of.withColumnRenamed("url", "url_b").withColumnRenamed(
+                        "node", "_nb"
+                    )
                 ),
                 "url_b",
                 "left",
@@ -334,21 +450,27 @@ def run_dedup_incremental(
         merged = connected_components(contracted, cfg.max_cc_iterations)
         # merged: (url=supernode-or-new-url, cluster_id=new label)
 
-        # members of every affected cluster, with n_chars for the A1 rule
-        base_members = (
-            base_assign.join(
+        # members of every affected cluster, with n_chars for the A1 rule.
+        # ``merged`` is batch-scale: broadcast it against the base tables.
+        affected_base = base_assign.join(
+            F.broadcast(
                 merged.select(
                     F.col("url").alias("cluster_id"),
                     F.col("cluster_id").alias("_label"),
-                ),
-                "cluster_id",
-            )
-            .join(base_prepared.select("url", "n_chars"), "url")
-            .select("url", F.col("_label").alias("cluster_id"), "n_chars")
+                )
+            ),
+            "cluster_id",
         )
+        base_members = base_prepared.select("url", "n_chars").join(
+            F.broadcast(affected_base), "url"
+        ).select("url", F.col("_label").alias("cluster_id"), "n_chars")
         new_members = (
             docs.select("url", "n_chars")
-            .join(merged.withColumnRenamed("cluster_id", "_label"), "url", "left")
+            .join(
+                F.broadcast(merged.withColumnRenamed("cluster_id", "_label")),
+                "url",
+                "left",
+            )
             .select(
                 "url",
                 F.coalesce("_label", F.col("url")).alias("cluster_id"),
@@ -366,7 +488,7 @@ def run_dedup_incremental(
             .select("url", "cluster_id", "canonical_url", "cluster_size")
         )
         untouched = base_assign.join(
-            merged.select(F.col("url").alias("cluster_id")),
+            F.broadcast(merged.select(F.col("url").alias("cluster_id"))),
             "cluster_id",
             "leftanti",
         ).select("url", "cluster_id", "canonical_url", "cluster_size")

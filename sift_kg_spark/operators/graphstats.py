@@ -50,11 +50,14 @@ def top_hubs_with_neighbors(
     hub-neighbor edge, ranks deterministic (degree desc, url asc).
     """
     deg = degrees(edges, col_a, col_b)
+    # Distributed TopK (TakeOrderedAndProject) over the full degree table;
+    # the ranking window then runs over the <= n surviving rows only — a
+    # global Window.orderBy here previously pulled the WHOLE degree table
+    # through one task.
+    top = deg.orderBy(F.desc("degree"), F.asc("url")).limit(n)
     w = Window.orderBy(F.desc("degree"), F.asc("url"))
-    hubs = (
-        deg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= n)
-        .select(F.col("url").alias("hub_url"), "degree", "rank")
+    hubs = top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("url").alias("hub_url"), "degree", "rank"
     )
     sym = edges.select(
         F.col(col_a).alias("hub_url"), F.col(col_b).alias("neighbor_url")
@@ -116,13 +119,17 @@ def cross_cluster_pair_counts(
         "url_a",
         "url_b",
     )
-    return normalized.groupBy("cluster_a", "cluster_b").agg(
-        F.count("*").alias("n_edges"),
-        F.size(
-            F.array_distinct(
-                F.flatten(F.collect_list(F.array("url_a", "url_b")))
-            )
-        ).alias("n_bridge_docs"),
+    # Explode endpoints (2 rows per edge), then count / countDistinct —
+    # two streaming hash aggregations. A collect_list variant would
+    # materialize every endpoint url of a cluster pair in one aggregation
+    # buffer: a hot pair with millions of cross edges OOMs that buffer,
+    # while countDistinct spills like any hash agg.
+    endpoints = normalized.select(
+        "cluster_a", "cluster_b", F.explode(F.array("url_a", "url_b")).alias("url")
+    )
+    return endpoints.groupBy("cluster_a", "cluster_b").agg(
+        (F.count("*") / 2).cast("long").alias("n_edges"),
+        F.countDistinct("url").alias("n_bridge_docs"),
     )
 
 

@@ -137,7 +137,18 @@ def candidate_pairs_incremental(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
         keys.groupBy(*key_cols)
         .agg(
             F.count("*").alias("bucket_size"),
+            # Same rep as the full run: global min uid over ALL members —
+            # any other choice (e.g. min over base only) makes the star
+            # structure diverge from the full run's and breaks the
+            # equivalence contract in the opposite direction.
             F.min("doc_uid").alias("bucket_rep"),
+            # is_new of the rep member: when the rep is a NEW doc, the
+            # bucket's BASE members must also star to it (they have never
+            # met this rep), otherwise a dup family spanning base+batch
+            # whose only shared key lands in a hot bucket splits in two
+            # (r2 ADVICE). When the rep is a base doc, base<->rep pairing
+            # already happened in the base run.
+            F.min_by(F.col("is_new"), F.col("doc_uid")).alias("_rep_is_new"),
             F.max(F.col("is_new").cast("int")).alias("_has_new"),
         )
         .filter((F.col("bucket_size") > 1) & (F.col("_has_new") == 1))
@@ -170,7 +181,10 @@ def candidate_pairs_incremental(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
     star_pairs = (
-        hot.filter(F.col("is_new") & (F.col("doc_uid") != F.col("bucket_rep")))
+        hot.filter(
+            (F.col("is_new") | F.col("_rep_is_new"))
+            & (F.col("doc_uid") != F.col("bucket_rep"))
+        )
         .select(
             F.least("doc_uid", "bucket_rep").alias("uid_a"),
             F.greatest("doc_uid", "bucket_rep").alias("uid_b"),

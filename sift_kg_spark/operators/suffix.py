@@ -7,9 +7,12 @@ long exact byte span (>= cfg.min_span_bytes) is a duplicate even when
 token-level Jaccard sits in the gray zone (containment: one page embeds the
 other's content among extra paragraphs).
 
-Implementation: per pair, build a suffix array over ``a + \\x01 + b``
-(utf-8 never emits a lone 0x01 inside a multi-byte sequence, so the
-separator cannot collide with text bytes), prefix-doubling construction
+Implementation: per pair, build a suffix array over ``a + <sep> + b``
+where ``<sep>`` is the out-of-band value 256 in an int32 widening of the
+byte arrays (a literal U+0001 in the text encodes as byte 0x01, so no
+BYTE separator is collision-free; the 256 sentinel cannot equal any text
+position and a cross-pair LCP can never run through it), prefix-doubling
+construction
 (O(n log n), fully numpy-vectorized via np.lexsort). The LCP step is NOT
 Kasai (a per-character Python loop — the round-1 scale-killer): instead the
 rank arrays that prefix doubling already produces at every level are kept,
@@ -89,7 +92,8 @@ def has_common_window(ab: bytes, bb: bytes, w: int) -> bool:
 
 
 def _build(s: np.ndarray) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
-    """Prefix-doubling suffix array of a uint8 array, keeping every level.
+    """Prefix-doubling suffix array of an integer array, keeping every
+    level (uint8 text bytes or the int32 sentinel-widened concatenation).
 
     Returns (sa, rank, levels): sa[i] = start of i-th smallest suffix;
     rank = final ranks; levels[k][p] = rank of the 2^k-byte block starting
@@ -141,7 +145,9 @@ def pair_lcp(
     advances by 2^k when its next 2^k-byte blocks both fit and have equal
     level-k rank (rank equality <=> block equality for fully in-bounds
     blocks). The construction stops only once every rank is distinct, so
-    the true LCP is < 2^top and the greedy descent is exact.
+    for DISTINCT suffixes the true LCP is < 2^top and the greedy descent
+    is exact; identical pairs (i == j) exceed that capacity and are
+    answered directly as n - i.
     """
     m = len(i)
     lcp = np.zeros(m, dtype=np.int64)
@@ -149,6 +155,7 @@ def pair_lcp(
         return lcp
     i = i.astype(np.int64)
     j = j.astype(np.int64)
+    same = i == j
     for k in range(len(levels) - 1, -1, -1):
         step = np.int64(1 << k)
         lev = levels[k]
@@ -160,6 +167,8 @@ def pair_lcp(
         eq = np.zeros(m, dtype=bool)
         eq[ok] = lev[ri[ok]] == lev[rj[ok]]
         lcp[eq] += step
+    if same.any():
+        lcp[same] = n - i[same]
     return lcp
 
 
@@ -187,7 +196,19 @@ def longest_common_span(a: str, b: str, cap: int = 2_000_000) -> int:
         return 0
     ab = a.encode("utf-8", "ignore")[:cap]
     bb = b.encode("utf-8", "ignore")[:cap]
-    s = np.frombuffer(ab + b"\x01" + bb, dtype=np.uint8)
+    # Out-of-band separator: normalized text may legitimately contain any
+    # BYTE (a literal U+0001 utf-8-encodes as 0x01), so no byte value is
+    # collision-free. Widening to int32 buys a true sentinel (256) that no
+    # text position can equal — a cross-pair LCP can then never run
+    # through the boundary, and the construction works unchanged (ranks
+    # are value-agnostic).
+    s = np.concatenate(
+        [
+            np.frombuffer(ab, dtype=np.uint8).astype(np.int32),
+            np.array([256], dtype=np.int32),
+            np.frombuffer(bb, dtype=np.uint8).astype(np.int32),
+        ]
+    )
     boundary = len(ab)  # index of the separator
     sa, _rank, levels = _build(s)
     side = sa < boundary  # suffixes starting in a (separator counts as b-side)

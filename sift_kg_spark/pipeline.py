@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sift_kg_spark.config import DEFAULT_CONFIG, DedupConfig
-from sift_kg_spark.functions.features import make_features_udf
+from sift_kg_spark.functions.features import FEATURE_FORMAT, make_features_udf
 from sift_kg_spark.functions.text import extract_text_udf, normalize_text_udf
 from sift_kg_spark.operators.components import connected_components
 from sift_kg_spark.operators.exact import exact_dup_pairs, exact_representatives
@@ -59,6 +59,16 @@ PAIR_COLUMNS = [
     "status",
     "decided_by",
 ]
+
+
+def run_context(cfg: DedupConfig) -> dict:
+    """Snapshot-context fingerprint: config + persisted-feature format.
+
+    The format version makes a base snapshot written under an older
+    feature encoding fail ``StageStore.exists`` instead of being silently
+    union-coerced by an incremental run (ADVICE r2: int64-shingle bases
+    would Jaccard near 0 against int32 batches)."""
+    return {**asdict(cfg), "feature_format": FEATURE_FORMAT}
 
 
 @dataclass
@@ -204,7 +214,7 @@ def run_dedup(
     resume: bool = True,
 ) -> DedupResult:
     store = (
-        StageStore(spark, workdir, context=asdict(cfg)) if workdir else None
+        StageStore(spark, workdir, context=run_context(cfg)) if workdir else None
     )
 
     def commit(name: str, build, inputs: tuple[str, ...] = ()) -> DataFrame:
@@ -254,11 +264,28 @@ def run_dedup(
 
     features = commit("features", build_features, ("prepared",))
 
-    def build_candidates() -> DataFrame:
-        keys = explode_keys(features, cfg)
-        return candidate_pairs(keys, cfg)
-
-    candidates = commit("candidates", build_candidates, ("features",))
+    if store is not None:
+        # The exploded key table is committed as its own snapshot so an
+        # APPEND batch (incremental.py) can semi-join it by key instead of
+        # re-reading + re-exploding the whole base feature table per batch
+        # — the difference between O(corpus) and O(batch) increments. At
+        # the Iceberg seam this table would be bucketed by `key`; here the
+        # parquet snapshot still spares the increment the explode and the
+        # wide `keys` array scan. In-memory runs (store=None) skip the
+        # materialization: nothing will ever append to them.
+        keys = store.stage(
+            "keys", lambda: explode_keys(features, cfg), inputs=("features",),
+            resume=resume,
+        )
+        candidates = commit(
+            "candidates", lambda: candidate_pairs(keys, cfg), ("keys",)
+        )
+    else:
+        candidates = commit(
+            "candidates",
+            lambda: candidate_pairs(explode_keys(features, cfg), cfg),
+            ("features",),
+        )
 
     verified = commit(
         "verified",

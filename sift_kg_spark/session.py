@@ -11,17 +11,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+# tmpfs scratch is only adopted when this much space is actually free:
+# /dev/shm is RAM (commonly capped at 50% of memory), and a large shuffle
+# landing on a small tmpfs fails with ENOSPC instead of spilling to disk.
+_TMPFS_MIN_FREE_BYTES = 16 * 1024**3
+
+
 def _local_scratch_dir() -> str:
     """Fastest writable scratch for shuffle files and spills.
 
     Priority: $SPARK_GRAFT_LOCAL_DIR > /dev/shm/sift_kg_spark_local (when
-    /dev/shm is a writable tmpfs) > /tmp. Equivalent of pointing
-    spark.local.dir at node-local NVMe on a real deployment.
+    /dev/shm is a writable tmpfs with >= 16 GiB free, or forced via
+    SPARK_GRAFT_TMPFS=1; disabled via SPARK_GRAFT_TMPFS=0) > /tmp.
+    Equivalent of pointing spark.local.dir at node-local NVMe on a real
+    deployment; the free-space gate keeps small-tmpfs hosts on disk where
+    shuffles can spill instead of ENOSPC-failing.
     """
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if env:
         os.makedirs(env, exist_ok=True)
         return env
+    tmpfs_flag = os.environ.get("SPARK_GRAFT_TMPFS")
+    if tmpfs_flag == "0":
+        return "/tmp"
     shm = "/dev/shm/sift_kg_spark_local"
     try:
         os.makedirs(shm, exist_ok=True)
@@ -29,6 +41,9 @@ def _local_scratch_dir() -> str:
         with open(probe, "w") as fh:
             fh.write("x")
         os.remove(probe)
+        st = os.statvfs(shm)
+        if tmpfs_flag != "1" and st.f_bavail * st.f_frsize < _TMPFS_MIN_FREE_BYTES:
+            return "/tmp"
         return shm
     except OSError:
         return "/tmp"

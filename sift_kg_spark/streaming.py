@@ -6,7 +6,7 @@ Spark Structured Streaming over that landing zone to the incremental
 engine (incremental.py): each micro-batch is deduplicated against
 everything ingested so far — signatures only for unseen texts, candidate
 buckets only where a new key lands, supernode-contracted clustering — so
-steady-state cost per micro-batch is O(batch), not O(corpus).
+steady-state cost per micro-batch tracks the batch, not the corpus.
 
 Design notes for cluster scale:
 
@@ -16,10 +16,19 @@ Design notes for cluster scale:
   file discovery + scheduling. This is the documented Spark pattern for
   stateful jobs whose state lives in external tables.
 * State between micro-batches IS the snapshot directory: batch N's
-  combined `prepared`/`features`/`assignments` become batch N+1's base.
-  A crashed micro-batch replays idempotently — re-delivered urls are
-  dropped by the increment's anti-join, and the streaming checkpoint
-  prevents double-processing of input files.
+  combined `prepared`/`features`/`keys`/`assignments` become batch N+1's
+  base. A crashed micro-batch replays idempotently — re-delivered urls
+  are dropped by the increment's broadcast anti-join, and the streaming
+  checkpoint prevents double-processing of input files.
+* Generation COMPACTION bounds plan depth: the base is the union of every
+  generation's immutable batch-only snapshot, so after hundreds of
+  micro-batches file listing + logical-plan size would grow
+  O(generations). Every ``compact_every``-th generation the union is
+  rewritten into one consolidated snapshot (``compact=<g>``) and the
+  latest-pointer records it; subsequent batches read 1 compacted snapshot
+  + at most ``compact_every - 1`` live generations. The rewrite is
+  O(corpus) but amortizes to O(corpus / compact_every) per batch — at the
+  Iceberg seam this is the table-maintenance `rewrite_data_files` job.
 * Watermarks/event-time operators are deliberately absent: dedup keys on
   content, not arrival time; late data is just another append batch.
 
@@ -33,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -44,26 +54,116 @@ PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )
 
+# per-generation tables that accumulate into the base state
+_BASE_STAGE_TABLES = ("prepared", "features", "keys")
+
 
 def _gen_dir(workdir: str, gen: int) -> str:
     return os.path.join(workdir, f"gen={gen}")
 
 
-def latest_generation(workdir: str) -> int | None:
-    """Highest complete generation, or None before the first batch."""
+def _compact_dir(workdir: str, gen: int) -> str:
+    return os.path.join(workdir, f"compact={gen}")
+
+
+def _read_state(workdir: str) -> dict | None:
     ptr = os.path.join(workdir, "_latest.json")
     if not os.path.exists(ptr):
         return None
     with open(ptr) as fh:
-        return json.load(fh)["gen"]
+        return json.load(fh)
 
 
-def _commit_latest(workdir: str, gen: int, batch_id: int, n_rows: int) -> None:
+def latest_generation(workdir: str) -> int | None:
+    """Highest complete generation, or None before the first batch."""
+    state = _read_state(workdir)
+    return None if state is None else state["gen"]
+
+
+def _commit_latest(
+    workdir: str,
+    gen: int,
+    batch_id: int,
+    n_rows: int,
+    compact_gen: int | None,
+) -> None:
     ptr = os.path.join(workdir, "_latest.json")
     tmp = ptr + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"gen": gen, "batch_id": batch_id, "rows": n_rows}, fh)
+        json.dump(
+            {
+                "gen": gen,
+                "batch_id": batch_id,
+                "rows": n_rows,
+                "compact_gen": compact_gen,
+            },
+            fh,
+        )
     os.replace(tmp, ptr)  # atomic generation flip
+
+
+def base_sources(workdir: str, upto_gen: int) -> tuple[int | None, list[int]]:
+    """(compact_gen, live_generations) the base state is assembled from.
+
+    The compacted snapshot (when present) covers generations
+    0..compact_gen; live generations are read individually. Exposed so
+    tests can assert the compaction bound.
+    """
+    state = _read_state(workdir)
+    cg = state.get("compact_gen") if state else None
+    if cg is not None and cg <= upto_gen:
+        return cg, list(range(cg + 1, upto_gen + 1))
+    return None, list(range(upto_gen + 1))
+
+
+def _union_all(frames: list[DataFrame]) -> DataFrame:
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def _base_tables(spark: SparkSession, workdir: str, upto_gen: int) -> dict:
+    """Assemble the accumulated base state for generation ``upto_gen + 1``.
+
+    prepared/features/keys are the union of the compacted snapshot plus
+    every live generation's batch-only snapshot (each immutable; nothing
+    rewritten outside compaction). assignments come from the latest
+    generation only, which the incremental run always commits COMBINED
+    (slim 4-col table; its per-generation rewrite is the one O(corpus)
+    cost, an upsert at the Iceberg seam).
+    """
+    cg, live = base_sources(workdir, upto_gen)
+    tables: dict[str, DataFrame] = {}
+    for name in _BASE_STAGE_TABLES:
+        paths = []
+        if cg is not None:
+            paths.append(os.path.join(_compact_dir(workdir, cg), f"{name}.parquet"))
+        paths.extend(
+            os.path.join(_gen_dir(workdir, g), f"{name}.parquet") for g in live
+        )
+        tables[name] = _union_all([spark.read.parquet(p) for p in paths])
+    tables["assignments"] = spark.read.parquet(
+        os.path.join(_gen_dir(workdir, upto_gen), "assignments.parquet")
+    )
+    return tables
+
+
+def _compact(spark: SparkSession, workdir: str, upto_gen: int) -> None:
+    """Rewrite the base-table unions through ``upto_gen`` into one
+    consolidated snapshot. Written FULLY before the pointer flips, so a
+    crash mid-compaction leaves the previous (still valid) sources live
+    and the half-written dir is simply overwritten next time."""
+    out = _compact_dir(workdir, upto_gen)
+    cg, live = base_sources(workdir, upto_gen - 1) if upto_gen > 0 else (None, [])
+    for name in _BASE_STAGE_TABLES:
+        paths = []
+        if cg is not None:
+            paths.append(os.path.join(_compact_dir(workdir, cg), f"{name}.parquet"))
+        paths.extend(
+            os.path.join(_gen_dir(workdir, g), f"{name}.parquet") for g in live
+        )
+        paths.append(os.path.join(_gen_dir(workdir, upto_gen), f"{name}.parquet"))
+        _union_all([spark.read.parquet(p) for p in paths]).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{name}.parquet"))
 
 
 def process_batch(
@@ -72,11 +172,14 @@ def process_batch(
     workdir: str,
     cfg: DedupConfig = DEFAULT_CONFIG,
     batch_id: int = 0,
+    compact_every: int = 8,
 ) -> None:
     """Dedup one micro-batch against the accumulated corpus state.
 
     Exposed separately from the stream wiring so tests (and backfills)
-    can drive it with plain DataFrames.
+    can drive it with plain DataFrames. ``compact_every`` bounds how many
+    per-generation snapshots the base union may span before they are
+    rewritten into one (0/None disables compaction).
     """
     prev = latest_generation(workdir)
     gen = 0 if prev is None else prev + 1
@@ -94,37 +197,14 @@ def process_batch(
             base_tables=_base_tables(spark, workdir, prev),
         )
     n = res.assignments.count()
-    _commit_latest(workdir, gen, batch_id, n)
 
-
-def _base_tables(spark: SparkSession, workdir: str, upto_gen: int) -> dict:
-    """Assemble the accumulated base state for generation ``upto_gen + 1``.
-
-    prepared/features are the UNION of every generation's batch-only
-    snapshot — a metadata-level file union (each generation's parquet is
-    immutable, nothing rewritten; the Iceberg upgrade makes this one
-    table with appends). assignments come from the latest generation
-    only, which the incremental run always commits COMBINED (slim 4-col
-    table; its per-generation rewrite is the one O(corpus) cost, upsert
-    at the Iceberg seam).
-    """
-    prepared = [
-        spark.read.parquet(os.path.join(_gen_dir(workdir, g), "prepared.parquet"))
-        for g in range(upto_gen + 1)
-    ]
-    features = [
-        spark.read.parquet(os.path.join(_gen_dir(workdir, g), "features.parquet"))
-        for g in range(upto_gen + 1)
-    ]
-    from functools import reduce
-
-    return {
-        "prepared": reduce(lambda a, b: a.unionByName(b), prepared),
-        "features": reduce(lambda a, b: a.unionByName(b), features),
-        "assignments": spark.read.parquet(
-            os.path.join(_gen_dir(workdir, upto_gen), "assignments.parquet")
-        ),
-    }
+    state = _read_state(workdir) or {}
+    compact_gen = state.get("compact_gen")
+    n_live = gen - (compact_gen if compact_gen is not None else -1)
+    if compact_every and n_live >= compact_every:
+        _compact(spark, workdir, upto_gen=gen)
+        compact_gen = gen
+    _commit_latest(workdir, gen, batch_id, n, compact_gen)
 
 
 def stream_dedup(
@@ -135,6 +215,7 @@ def stream_dedup(
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
     max_files_per_trigger: int = 64,
+    compact_every: int = 8,
 ):
     """Stream a landing directory of parquet page files into the dedup
     state at ``workdir``. Returns the StreamingQuery.
@@ -157,7 +238,10 @@ def stream_dedup(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        process_batch(spark, batch_df, workdir, cfg, batch_id=batch_id)
+        process_batch(
+            spark, batch_df, workdir, cfg, batch_id=batch_id,
+            compact_every=compact_every,
+        )
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation",

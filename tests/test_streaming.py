@@ -66,3 +66,49 @@ def test_stream_generations_match_full_run(spark, cfg, corpus, tmp_path_factory)
     g0 = spark.read.parquet(os.path.join(state, "gen=0", "features.parquet"))
     overlap = g1.select("url").join(g0.select("url"), "url").count()
     assert overlap == 0
+
+
+def test_stream_compaction_bounds_generations(spark, cfg, tmp_path_factory):
+    """VERDICT r2 #6: with compact_every=2, the base union must never span
+    more than 1 compacted snapshot + 1 live generation — and the result
+    still equals the full run after compactions happened mid-stream."""
+    from sift_kg_spark.fixtures import generate_corpus
+    from sift_kg_spark.streaming import base_sources, process_batch
+
+    pages_pdf = generate_corpus(150, seed=23)[0].drop(columns=["true_text"])
+    wd = tmp_path_factory.mktemp("stream_compact")
+    state = os.path.join(str(wd), "state")
+    os.makedirs(state, exist_ok=True)
+
+    n_batches = 5
+    for i in range(n_batches):
+        process_batch(
+            spark,
+            spark.createDataFrame(pages_pdf.iloc[i::n_batches]),
+            state,
+            cfg,
+            batch_id=i,
+            compact_every=2,
+        )
+
+    gen = latest_generation(state)
+    assert gen == n_batches - 1
+    cg, live = base_sources(state, gen)
+    n_sources = (1 if cg is not None else 0) + len(live)
+    assert n_sources <= 2, (cg, live)
+
+    full = run_dedup(
+        spark,
+        spark.createDataFrame(pages_pdf),
+        cfg,
+        workdir=os.path.join(str(wd), "full"),
+    )
+    want = _amap(full.assignments)
+    got = _amap(
+        spark.read.parquet(
+            os.path.join(state, f"gen={gen}", "assignments.parquet")
+        )
+    )
+    assert set(got) == set(want)
+    mism = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
+    assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"

@@ -785,6 +785,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_full_pipeline"] = dedup_full_pipeline
 
+    def dedup_incremental_append(spark, sf):
+        # §2.10 streaming/incremental (VERDICT r2 #3): base corpus = the
+        # documents table; append batch = planted exact copies (+ near
+        # edits for longer docs), so every dup family straddles the
+        # base/batch boundary. Invariants: (1) the incremental run's
+        # COMBINED assignments equal a full run over base ∪ batch row for
+        # row (cluster_id, canonical_url, cluster_size); (2) each planted
+        # original co-clusters with its copy in the incremental result.
+        import tempfile
+
+        from sift_kg_spark.config import DedupConfig
+        from sift_kg_spark.incremental import run_dedup_incremental
+        from sift_kg_spark.pipeline import run_dedup
+
+        cfg = DedupConfig(min_text_chars=10)
+        base_pages = _docs_as_pages(spark, sf)
+        d = _t(spark, sf, "documents")
+        url_of = F.format_string(
+            "doc://%s/%06d", F.col("source"), F.col("doc_id")
+        )
+        planted = d.filter(
+            (F.col("doc_id") % 17 == 3) & (F.col("n_chars") >= 200)
+        )
+        ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        copies = planted.select(
+            F.concat(url_of, F.lit("#copy")).alias("url"),
+            ts.alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.col("text"),
+            F.col("lang"),
+        )
+        edited = F.expr(
+            "array_join(transform(split(trim(text), '\\\\s+'),"
+            " (t, i) -> IF(i = 2, 'zqx7', t)), ' ')"
+        )
+        near = planted.filter(F.col("n_chars") >= 400).select(
+            F.concat(url_of, F.lit("#near")).alias("url"),
+            ts.alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            edited.alias("text"),
+            F.col("lang"),
+        )
+        batch = copies.unionByName(near)
+
+        base_wd = tempfile.mkdtemp(prefix="skg_incq_base_")
+        run_dedup(spark, base_pages, cfg, workdir=base_wd)
+        inc = run_dedup_incremental(spark, batch, cfg, base_workdir=base_wd)
+        full = run_dedup(spark, base_pages.unionByName(batch), cfg)
+
+        fa = full.assignments.select(
+            "url",
+            F.col("cluster_id").alias("f_cl"),
+            F.col("canonical_url").alias("f_ca"),
+            F.col("cluster_size").alias("f_sz"),
+        )
+        ia = inc.assignments.select(
+            "url",
+            F.col("cluster_id").alias("i_cl"),
+            F.col("canonical_url").alias("i_ca"),
+            F.col("cluster_size").alias("i_sz"),
+        )
+        j = fa.join(ia, "url", "full_outer")
+        bad = (
+            F.col("f_cl").isNull()
+            | F.col("i_cl").isNull()
+            | (F.col("f_cl") != F.col("i_cl"))
+            | (F.col("f_ca") != F.col("i_ca"))
+            | (F.col("f_sz") != F.col("i_sz"))
+        )
+        global_bad = j.select(
+            F.max(F.when(bad, 1).otherwise(0)).alias("_any_bad")
+        )
+        pl = planted.select(
+            "doc_id",
+            url_of.alias("url_o"),
+            F.concat(url_of, F.lit("#copy")).alias("url_c"),
+        )
+        io_ = ia.select(F.col("url").alias("url_o"), F.col("i_cl").alias("cl_o"))
+        ic = ia.select(F.col("url").alias("url_c"), F.col("i_cl").alias("cl_c"))
+        per = (
+            pl.join(io_, "url_o")
+            .join(ic, "url_c")
+            .select(
+                "doc_id",
+                (F.col("cl_o") == F.col("cl_c")).cast("int").alias("_co"),
+            )
+        )
+        return per.crossJoin(F.broadcast(global_bad)).select(
+            "doc_id",
+            (
+                (F.col("_co") == 1) & (F.col("_any_bad") == 0)
+            ).cast("int").alias("combined_equals_full"),
+        )
+
+    q["dedup_incremental_append"] = dedup_incremental_append
+
     # ---- cluster-graph stats + exports (A8 / G3 / W3 / S12+X10) -----------
 
     def _block_assign(spark, sf):
@@ -1264,6 +1360,11 @@ def oracle_sql() -> dict[str, str]:
 
     o["dedup_full_pipeline"] = """
         SELECT doc_id, 1 AS co_clustered, 1 AS canonical_a1_ok
+        FROM documents WHERE doc_id % 17 = 3 AND n_chars >= 200
+    """
+
+    o["dedup_incremental_append"] = """
+        SELECT doc_id, 1 AS combined_equals_full
         FROM documents WHERE doc_id % 17 = 3 AND n_chars >= 200
     """
 

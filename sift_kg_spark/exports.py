@@ -120,39 +120,159 @@ def export_node_link_jsonl(
     links.write.mode("overwrite").json(os.path.join(out_dir, "links"))
 
 
-def node_link_dict(
-    assignments: DataFrame, edges: DataFrame, max_rows: int = 100_000
-) -> dict:
-    """Driver-side node-link dict (knowledge_graph.py:331-339 shape) for
-    reference-sized graphs; refuses to materialize beyond ``max_rows``."""
+def _collect_graph(
+    assignments: DataFrame, edges: DataFrame, max_rows: int
+) -> tuple[list, list]:
+    """Driver-side (nodes, links) rows for reference-sized graphs;
+    refuses to materialize beyond ``max_rows`` (distributed exports exist
+    for everything larger)."""
     n = assignments.count()
     if n > max_rows:
         raise ValueError(
             f"graph too large to materialize driver-side ({n} > {max_rows});"
             " use export_node_link_jsonl"
         )
-    nodes = [
-        {
-            "id": r["url"],
-            "cluster_id": r["cluster_id"],
-            "canonical_url": r["canonical_url"],
-        }
-        for r in assignments.select(
-            "url", "cluster_id", "canonical_url"
-        ).collect()
-    ]
-    links = [
-        {
-            "source": r["url_a"],
-            "target": r["url_b"],
-            "status": r["status"],
-            "channels": r["channels"],
-        }
-        for r in merge_parallel_edges(edges)
+    nodes = assignments.select(
+        "url", "cluster_id", "canonical_url"
+    ).collect()
+    links = (
+        merge_parallel_edges(edges)
         .select("url_a", "url_b", "status", "channels")
         .collect()
-    ]
-    return {"directed": False, "multigraph": False, "nodes": nodes, "links": links}
+    )
+    return nodes, links
+
+
+def node_link_dict(
+    assignments: DataFrame, edges: DataFrame, max_rows: int = 100_000
+) -> dict:
+    """Driver-side node-link dict (knowledge_graph.py:331-339 shape) for
+    reference-sized graphs; refuses to materialize beyond ``max_rows``."""
+    nodes, links = _collect_graph(assignments, edges, max_rows)
+    return {
+        "directed": False,
+        "multigraph": False,
+        "nodes": [
+            {
+                "id": r["url"],
+                "cluster_id": r["cluster_id"],
+                "canonical_url": r["canonical_url"],
+            }
+            for r in nodes
+        ],
+        "links": [
+            {
+                "source": r["url_a"],
+                "target": r["url_b"],
+                "status": r["status"],
+                "channels": r["channels"],
+            }
+            for r in links
+        ],
+    }
+
+
+_NODE_ATTRS = ("cluster_id", "canonical_url")
+_EDGE_ATTRS = ("status", "channels")
+
+
+def export_graphml(
+    assignments: DataFrame,
+    edges: DataFrame,
+    path: str,
+    max_rows: int = 100_000,
+) -> str:
+    """GraphML export (reference export.py:212-219 — nx.write_graphml on
+    the flattened merged-edge graph; yEd/Gephi/Cytoscape compatible).
+
+    Driver-side guarded writer: GraphML is a single XML document with a
+    global key table, so it is inherently a small-graph convenience
+    format — the same ``max_rows`` cap as :func:`node_link_dict` applies
+    (the distributed sink for large graphs is export_node_link_jsonl).
+    """
+    import xml.etree.ElementTree as ET
+
+    nodes, links = _collect_graph(assignments, edges, max_rows)
+    root = ET.Element(
+        "graphml", xmlns="http://graphml.graphdrawing.org/xmlns"
+    )
+    key_ids = {}
+    for i, (domain, name) in enumerate(
+        [("node", a) for a in _NODE_ATTRS] + [("edge", a) for a in _EDGE_ATTRS]
+    ):
+        kid = f"d{i}"
+        key_ids[(domain, name)] = kid
+        ET.SubElement(
+            root,
+            "key",
+            id=kid,
+            attrib={"for": domain, "attr.name": name, "attr.type": "string"},
+        )
+    graph = ET.SubElement(root, "graph", edgedefault="undirected")
+    for r in nodes:
+        node = ET.SubElement(graph, "node", id=r["url"])
+        for a in _NODE_ATTRS:
+            d = ET.SubElement(node, "data", key=key_ids[("node", a)])
+            d.text = str(r[a])
+    for r in links:
+        edge = ET.SubElement(graph, "edge", source=r["url_a"], target=r["url_b"])
+        for a in _EDGE_ATTRS:
+            d = ET.SubElement(edge, "data", key=key_ids[("edge", a)])
+            d.text = str(r[a])
+    ET.ElementTree(root).write(path, encoding="utf-8", xml_declaration=True)
+    return path
+
+
+def export_gexf(
+    assignments: DataFrame,
+    edges: DataFrame,
+    path: str,
+    max_rows: int = 100_000,
+) -> str:
+    """GEXF 1.2 export (reference export.py:222-229 — nx.write_gexf on the
+    flattened merged-edge graph; Gephi's native format). Same driver-side
+    row-cap posture as :func:`export_graphml`."""
+    import xml.etree.ElementTree as ET
+
+    nodes, links = _collect_graph(assignments, edges, max_rows)
+    root = ET.Element(
+        "gexf", xmlns="http://www.gexf.net/1.2draft", version="1.2"
+    )
+    graph = ET.SubElement(root, "graph", defaultedgetype="undirected")
+    natts = ET.SubElement(graph, "attributes", attrib={"class": "node"})
+    for i, a in enumerate(_NODE_ATTRS):
+        ET.SubElement(
+            natts, "attribute", id=str(i), title=a, type="string"
+        )
+    eatts = ET.SubElement(graph, "attributes", attrib={"class": "edge"})
+    for i, a in enumerate(_EDGE_ATTRS):
+        ET.SubElement(
+            eatts, "attribute", id=str(i), title=a, type="string"
+        )
+    xml_nodes = ET.SubElement(graph, "nodes")
+    for r in nodes:
+        node = ET.SubElement(xml_nodes, "node", id=r["url"], label=r["url"])
+        vals = ET.SubElement(node, "attvalues")
+        for i, a in enumerate(_NODE_ATTRS):
+            ET.SubElement(
+                vals, "attvalue", attrib={"for": str(i), "value": str(r[a])}
+            )
+    xml_edges = ET.SubElement(graph, "edges")
+    for j, r in enumerate(links):
+        edge = ET.SubElement(
+            xml_edges,
+            "edge",
+            id=str(j),
+            source=r["url_a"],
+            target=r["url_b"],
+        )
+        vals = ET.SubElement(edge, "attvalues")
+        for i, a in enumerate(_EDGE_ATTRS):
+            ET.SubElement(
+                vals, "attvalue", attrib={"for": str(i), "value": str(r[a])}
+            )
+    ET.ElementTree(root).write(path, encoding="utf-8", xml_declaration=True)
+    return path
 
 
 def read_csv_export(spark, path: str) -> DataFrame:

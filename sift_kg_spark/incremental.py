@@ -175,9 +175,15 @@ def run_dedup_incremental(
 
     def commit(name: str, build, inputs: tuple[str, ...] = ()) -> DataFrame:
         if store is None:
-            from pyspark import StorageLevel
-
-            return build().persist(StorageLevel.MEMORY_AND_DISK)
+            # localCheckpoint (lazy), not bare persist: the increment's
+            # stages reference base/batch subtrees many times over
+            # (broadcast uid/key/url sets), and without per-stage PLAN
+            # truncation Catalyst re-analyzes the exponentially nested
+            # lineage on every downstream Dataset build — minutes of
+            # driver time before any job runs. Blocks are stored
+            # MEMORY_AND_DISK either way; a workdir store gets the same
+            # truncation from its parquet round-trip.
+            return build().localCheckpoint(eager=False)
         return store.stage(name, build, inputs=inputs, resume=resume)
 
     n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

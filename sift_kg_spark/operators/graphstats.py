@@ -129,7 +129,8 @@ def cross_cluster_pair_counts(
     )
     return endpoints.groupBy("cluster_a", "cluster_b").agg(
         (F.count("*") / 2).cast("long").alias("n_edges"),
-        F.countDistinct("url").alias("n_bridge_docs"),
+        # int to keep the pre-refactor (F.size-based) output schema
+        F.countDistinct("url").cast("int").alias("n_bridge_docs"),
     )
 
 

@@ -106,6 +106,61 @@ class TestExports:
         except ValueError:
             pass
 
+    def test_graphml_roundtrip(self, spark, tmp_path):
+        import xml.etree.ElementTree as ET
+
+        from sift_kg_spark.exports import export_graphml
+
+        path = str(tmp_path / "graph.graphml")
+        export_graphml(_assignments(spark), _pairs(spark), path)
+        ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+        root = ET.parse(path).getroot()
+        nodes = root.findall(".//g:node", ns)
+        edges = root.findall(".//g:edge", ns)
+        assert len(nodes) == 6
+        assert len(edges) == 3  # parallel a-b merged
+        # attribute round-trip: node 'b' carries its cluster assignment
+        keys = {
+            k.get("id"): k.get("attr.name") for k in root.findall("g:key", ns)
+        }
+        b = next(n for n in nodes if n.get("id") == "b")
+        data = {keys[d.get("key")]: d.text for d in b.findall("g:data", ns)}
+        assert data["cluster_id"] == "a"
+        assert data["canonical_url"] == "a"
+        ab = next(e for e in edges if {e.get("source"), e.get("target")} == {"a", "b"})
+        edata = {keys[d.get("key")]: d.text for d in ab.findall("g:data", ns)}
+        assert edata["status"] == "confirmed"
+        assert edata["channels"] == "minhash; simchunk"
+
+    def test_gexf_roundtrip(self, spark, tmp_path):
+        import xml.etree.ElementTree as ET
+
+        from sift_kg_spark.exports import export_gexf
+
+        path = str(tmp_path / "graph.gexf")
+        export_gexf(_assignments(spark), _pairs(spark), path)
+        ns = {"g": "http://www.gexf.net/1.2draft"}
+        root = ET.parse(path).getroot()
+        nodes = root.findall(".//g:nodes/g:node", ns)
+        edges = root.findall(".//g:edges/g:edge", ns)
+        assert len(nodes) == 6
+        assert len(edges) == 3
+        b = next(n for n in nodes if n.get("id") == "b")
+        vals = {
+            v.get("for"): v.get("value")
+            for v in b.findall(".//g:attvalue", ns)
+        }
+        assert vals["0"] == "a"  # cluster_id
+        # guard applies to XML exports too
+        try:
+            export_gexf(
+                _assignments(spark), _pairs(spark),
+                str(tmp_path / "x.gexf"), max_rows=2,
+            )
+            raise AssertionError("guard did not trip")
+        except ValueError:
+            pass
+
 
 class TestGraphStats:
     # two triangles bridged by one flagged edge + a spoke

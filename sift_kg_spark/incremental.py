@@ -192,7 +192,12 @@ def run_dedup_incremental(
 
     # ---- 1. prepare + base-collision rescue --------------------------------
     def build_prepared() -> DataFrame:
-        inc = prepare_stage(new_pages, cfg, n_partitions)
+        # checkpoint the extracted batch once: it feeds the main plan plus
+        # two broadcast probe sets below, and the pandas-UDF extraction
+        # chain should run once per batch, not once per reference.
+        inc = prepare_stage(new_pages, cfg, n_partitions).localCheckpoint(
+            eager=False
+        )
         # Idempotent re-delivery: urls already in the base corpus are not
         # re-deduped (the base decision stands). The redelivered set is
         # found by streaming the base url column against the BROADCAST

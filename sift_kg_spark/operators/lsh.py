@@ -15,14 +15,13 @@ low 2 bits, packed inside the signature UDF):
     if A ⊆ B, P[bottom-k sketches disjoint] ≈ (1-|A|/|B|)^k.
 
 Skew handling (north rule, explicit half): a boilerplate-heavy corpus makes
-some band keys enormous. Bucket sizes are computed first
-(groupBy(key).count(), map-side partial agg) and filtered to actual
-collisions BEFORE joining back — the collision table is orders of
-magnitude smaller than the key table, so AQE turns the join back into a
-broadcast. Buckets over ``hot_band_cap`` switch from all-pairs (O(n^2)) to
-STAR pairing against the bucket's min-url member (O(n)), preserving
-intra-bucket connectivity for true dup families while bounding pair
-volume. AQE skew-join splitting (session.py) is the built-in half.
+some band keys enormous. Bucket sizes are computed as WINDOW aggregates
+over the (single) key-partitioned exchange and filtered to actual
+collisions before any pairing — buckets over ``hot_band_cap`` switch from
+all-pairs (O(n^2)) to STAR pairing against the bucket's min-uid member
+(O(n)), preserving intra-bucket connectivity for true dup families while
+bounding pair volume. AQE skew-join splitting (session.py) is the
+built-in half.
 
 Precision gate: a full MinHash band match is strong evidence on its own,
 and so is a single simchunk key (32 matching SimHash bits; random
@@ -36,7 +35,7 @@ and was the dominant junk-pair source).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sift_kg_spark.config import DedupConfig
@@ -69,15 +68,25 @@ def candidate_pairs(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     Returns: uid_a, uid_b, channel (strongest channel that produced the
     pair), n_keys (co-firing key count — similarity prior + skew metric).
+
+    Plan shape: bucket size/rep come from a WINDOW over the key exchange,
+    not a separate aggregation joined back — so the key table is shuffled
+    by key exactly ONCE, that exchange is reused by both self-join sides
+    and the hot branch (all already hash-partitioned on the join key; the
+    pairing join adds no exchange), and no collision table is ever
+    collected driver-side for a broadcast build. The previous
+    agg + broadcast-join shape shuffled the key table three times and its
+    driver-side broadcast build was the largest level-invariant cost in
+    the whole pipeline (BENCH/SCALING.md round-3 decomposition).
     """
     key_cols = ["lang", "key"] if cfg.partition_by_lang else ["key"]
 
-    sizes = (
-        keys.groupBy(*key_cols)
-        .agg(F.count("*").alias("bucket_size"), F.min("doc_uid").alias("bucket_rep"))
+    w = Window.partitionBy(*key_cols)
+    keyed = (
+        keys.withColumn("bucket_size", F.count("*").over(w))
+        .withColumn("bucket_rep", F.min("doc_uid").over(w))
         .filter(F.col("bucket_size") > 1)
     )
-    keyed = keys.join(sizes, on=key_cols, how="inner")
 
     normal = keyed.filter(F.col("bucket_size") <= cfg.hot_band_cap)
     hot = keyed.filter(F.col("bucket_size") > cfg.hot_band_cap)
@@ -124,8 +133,10 @@ def candidate_pairs_incremental(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
     (uid_a, uid_b, channel, n_keys) shape as :func:`candidate_pairs`, but
     only pairs with >= 1 new member: base×base pairs were already decided
     by the base run and never regenerate. Buckets with no new member are
-    dropped at the (map-side-combined) size aggregation, so per-increment
-    cost tracks the NEW keys plus the buckets they touch, not the corpus.
+    dropped right after the sizing window, so per-increment cost tracks
+    the NEW keys plus the buckets they touch, not the corpus (the caller
+    additionally prunes the base key table BY KEY before this function —
+    incremental.incremental_candidates).
 
     Pair orientation: a pair is emitted exactly once per shared key —
     new×new by the uid order on the new side, new×base always from the
@@ -133,28 +144,28 @@ def candidate_pairs_incremental(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
     """
     key_cols = ["lang", "key"] if cfg.partition_by_lang else ["key"]
 
-    sizes = (
-        keys.groupBy(*key_cols)
-        .agg(
-            F.count("*").alias("bucket_size"),
-            # Same rep as the full run: global min uid over ALL members —
-            # any other choice (e.g. min over base only) makes the star
-            # structure diverge from the full run's and breaks the
-            # equivalence contract in the opposite direction.
-            F.min("doc_uid").alias("bucket_rep"),
-            # is_new of the rep member: when the rep is a NEW doc, the
-            # bucket's BASE members must also star to it (they have never
-            # met this rep), otherwise a dup family spanning base+batch
-            # whose only shared key lands in a hot bucket splits in two
-            # (r2 ADVICE). When the rep is a base doc, base<->rep pairing
-            # already happened in the base run.
-            F.min_by(F.col("is_new"), F.col("doc_uid")).alias("_rep_is_new"),
-            F.max(F.col("is_new").cast("int")).alias("_has_new"),
+    w = Window.partitionBy(*key_cols)
+    keyed = (
+        keys
+        # Same rep as the full run: global min uid over ALL members — any
+        # other choice (e.g. min over base only) makes the star structure
+        # diverge from the full run's and breaks the equivalence contract
+        # in the opposite direction.
+        .withColumn("bucket_size", F.count("*").over(w))
+        .withColumn("bucket_rep", F.min("doc_uid").over(w))
+        # is_new of the rep member: when the rep is a NEW doc, the
+        # bucket's BASE members must also star to it (they have never met
+        # this rep), otherwise a dup family spanning base+batch whose
+        # only shared key lands in a hot bucket splits in two (r2
+        # ADVICE). When the rep is a base doc, base<->rep pairing already
+        # happened in the base run.
+        .withColumn(
+            "_rep_is_new", F.min_by(F.col("is_new"), F.col("doc_uid")).over(w)
         )
+        .withColumn("_has_new", F.max(F.col("is_new").cast("int")).over(w))
         .filter((F.col("bucket_size") > 1) & (F.col("_has_new") == 1))
         .drop("_has_new")
     )
-    keyed = keys.join(sizes, on=key_cols, how="inner")
 
     normal = keyed.filter(F.col("bucket_size") <= cfg.hot_band_cap)
     hot = keyed.filter(F.col("bucket_size") > cfg.hot_band_cap)

@@ -100,6 +100,12 @@ def incremental_candidates(
     a bucket the batch touches ever enter the pairing exchange — the
     base-side shuffle is O(touched), not O(corpus). The base FEATURE
     table is never read here at all.
+
+    Broadcast sizing: the probe set is ~44 distinct int64 keys per batch
+    doc (~1 MB per 3k docs) — far under the 8 GB broadcast ceiling for
+    any sane micro-batch; a backfill large enough to breach it should run
+    as a fresh base build (run_dedup), which is cheaper than incremental
+    at that size anyway.
     """
     key_cols = ["lang", "key"] if cfg.partition_by_lang else ["key"]
     tagged_new = new_keys.withColumn("is_new", F.lit(True))

@@ -91,9 +91,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- scans / filters / exact dedup family (S*, F*, J3, A1) ----------
 
     def exact_dup_clusters(spark, sf):
-        # J3 analog: groupBy(hash of text) — the Layer-1 exact-dup stage
+        # J3 analog: groupBy(hash of text) — the Layer-1 exact-dup stage.
+        # The driver corpus has no exact text dups, so exact copies are
+        # PLANTED (same %17 recipe as dedup_full_pipeline) — this oracle
+        # row has real rows and can actually fail (r3 VERDICT #4).
+        d = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+        copies = d.filter(
+            (F.col("doc_id") % 17 == 3) & (F.col("n_chars") >= 200)
+        ).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "n_chars"
+        )
         return (
-            _t(spark, sf, "documents")
+            d.unionByName(copies)
             .groupBy(F.md5("text").alias("text_hash"))
             .agg(
                 F.count("*").alias("cluster_size"),
@@ -449,11 +458,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- reference operator analogs: search / joins / sets / graph --------
 
     def search_pages(spark, sf):
-        # F5: case-insensitive substring search over name+alias analog
+        # F5: case-insensitive substring search via the library operator
+        # (operators/search.py; ref cli.py:603-622 name/alias scan)
+        from sift_kg_spark.operators.search import search_substring
+
         d = _t(spark, sf, "documents")
-        return d.filter(
-            F.lower(F.col("text")).contains("table") & (F.col("lang") == "en")
-        ).select("doc_id", "source", "n_chars")
+        return (
+            search_substring(d, "table", cols=("text",))
+            .filter(F.col("lang") == "en")
+            .select("doc_id", "source", "n_chars")
+        )
 
     q["search_pages"] = search_pages
 
@@ -565,26 +579,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["isolated_docs"] = isolated_docs
 
     def two_hop_neighbors(spark, sf):
-        # G5: ego-subgraph BFS depth 2 from seed nodes (communities.py:292-376)
+        # G5: ego-subgraph BFS depth 2 via the library operator
+        # (operators/graphstats.ego_bfs; ref communities.py:292-376).
+        # ego_bfs returns first-reach hops; the node SET within depth 2
+        # equals the hop1 ∪ hop2 shape the oracle expresses.
+        from sift_kg_spark.operators.graphstats import ego_bfs
+
         d = _t(spark, sf, "documents").select("doc_id")
-        edges = _chain_edges(d, 10, 3)
-        sym = edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        edges = _chain_edges(d, 10, 3).select(
+            F.col("src").alias("url_a"), F.col("dst").alias("url_b")
         )
         seeds = d.filter(F.col("doc_id") % 100 == 0).select(
             F.col("doc_id").alias("seed")
         )
-        hop1 = seeds.join(sym, seeds.seed == sym.src).select(
-            "seed", F.col("dst").alias("node")
-        )
-        hop2 = hop1.join(sym, hop1.node == sym.src).select(
-            "seed", F.col("dst").alias("node")
-        )
-        return (
-            hop1.unionByName(hop2)
-            .filter(F.col("node") != F.col("seed"))
-            .distinct()
-        )
+        return ego_bfs(edges, seeds, depth=2).select("seed", "node")
 
     q["two_hop_neighbors"] = two_hop_neighbors
 
@@ -1036,10 +1044,16 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["exact_dup_clusters"] = """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text
+            FROM documents WHERE doc_id % 17 = 3 AND n_chars >= 200
+        )
         SELECT md5(text) AS text_hash,
                count(*) AS cluster_size,
                min(doc_id) AS canonical_doc_id
-        FROM documents GROUP BY 1 HAVING count(*) > 1
+        FROM corpus GROUP BY 1 HAVING count(*) > 1
     """
 
     o["normalized_fingerprints"] = f"""

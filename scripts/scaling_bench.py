@@ -80,6 +80,25 @@ def child(master: str, cores: int, pages_path: str) -> int:
     res = run_dedup(spark, pages, DedupConfig(), workdir=wd, resume=False)
     res.assignments.count()
     elapsed = time.monotonic() - t0
+
+    # Per-stage wall times from the lineage table the run just wrote:
+    # two levels of these decompose each stage into level-invariant F and
+    # scalable W via T(c) = F + W/c (the r3 fixed-cost model, per stage).
+    stages: dict[str, float] = {}
+    try:
+        import glob as _glob
+
+        import pandas as pd
+
+        lin = pd.concat(
+            pd.read_parquet(p)
+            for p in _glob.glob(os.path.join(wd, "_lineage.parquet", "*.parquet"))
+        )
+        stages = {
+            r.stage: float(r.elapsed_sec) for r in lin.itertuples()
+        }
+    except Exception:
+        pass
     shutil.rmtree(wd, ignore_errors=True)
     print(json.dumps({
         "master": master,
@@ -87,6 +106,7 @@ def child(master: str, cores: int, pages_path: str) -> int:
         "docs": n_docs,
         "elapsed_sec": round(elapsed, 2),
         "docs_per_sec": round(n_docs / elapsed, 1),
+        "stages": stages,
     }))
     spark.stop()
     return 0
@@ -106,6 +126,13 @@ def main() -> int:
                    help="seconds to sleep between runs (lets the host's "
                         "page-reclaim state settle; its throughput drifts "
                         "2x with recent memory pressure)")
+    p.add_argument("--alternate", action="store_true",
+                   help="reverse the level order on odd rounds: a fixed "
+                        "order always runs the later level in the dirtier "
+                        "post-run host window (each run degrades the "
+                        "host's page-supply state), biasing its best-of-N "
+                        "downward; alternating gives both levels equal "
+                        "exposure to fresh and dirty windows")
     p.add_argument("--child", action="store_true")
     p.add_argument("--master")
     p.add_argument("--cores", type=int)
@@ -131,8 +158,11 @@ def main() -> int:
     # times on this VM vary by >2x with host memory state, so alternating
     # runs decorrelate that noise from the parallelism level.
     results: dict[int, dict] = {}
-    for _ in range(args.runs):
-        for level in levels:
+    for run_i in range(args.runs):
+        ordered = levels
+        if args.alternate and run_i % 2 == 1:
+            ordered = list(reversed(levels))
+        for level in ordered:
             master, cores = master_of(level)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child",
@@ -175,6 +205,37 @@ Pipeline measured: full near-duplicate job (extract -> normalize -> exact
 dedup -> MinHash/LSH candidate exchange -> Jaccard/SimHash verify ->
 suffix-array confirm -> connected components -> canonical assignment).
 """
+    # Per-stage F/W decomposition from the two best runs: T(c) = F + W/c
+    # => F = (c_hi*T_hi - c_lo*T_lo) / (c_hi - c_lo), W = c_lo*(T_lo - F).
+    st_lo = results[lo].get("stages") or {}
+    st_hi = results[hi].get("stages") or {}
+    common = [s for s in st_lo if s in st_hi]
+    if common:
+        c_lo, c_hi = results[lo]["cores"], results[hi]["cores"]
+        md += (
+            "\n## Per-stage fixed-cost decomposition (best runs)\n\n"
+            "T(c) = F + W/c fitted per stage from the two levels; F is the\n"
+            "level-invariant cost that caps efficiency.\n\n"
+            "| stage | T(N) s | T(4N) s | F s | W core-s | stage eff |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        tot_f = tot_w = 0.0
+        for s in common:
+            t_lo, t_hi = st_lo[s], st_hi[s]
+            f = (c_hi * t_hi - c_lo * t_lo) / (c_hi - c_lo)
+            w = c_lo * (t_lo - f)
+            s_eff = t_lo / (t_hi * (c_hi / c_lo)) if t_hi > 0 else float("nan")
+            tot_f += f
+            tot_w += w
+            md += (
+                f"| {s} | {t_lo:.1f} | {t_hi:.1f} | {f:.1f} | {w:.0f} "
+                f"| {s_eff:.2f} |\n"
+            )
+        md += (
+            f"| **total (staged)** | {sum(st_lo[s] for s in common):.1f} "
+            f"| {sum(st_hi[s] for s in common):.1f} | {tot_f:.1f} "
+            f"| {tot_w:.0f} | |\n"
+        )
     # SCALING.md is the curated full-history doc; each run lands in
     # SCALING_LATEST.md and gets folded into the history by hand.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -132,14 +132,21 @@ def _collect_graph(
             f"graph too large to materialize driver-side ({n} > {max_rows});"
             " use export_node_link_jsonl"
         )
+    merged = merge_parallel_edges(edges).select(
+        "url_a", "url_b", "status", "channels"
+    )
+    # guard the LINK side too: an edge-dense small-node graph can carry
+    # far more edges than nodes (r3 ADVICE) — count before collecting
+    n_links = merged.count()
+    if n_links > max_rows:
+        raise ValueError(
+            f"graph too edge-dense to materialize driver-side ({n_links} "
+            f"merged edges > {max_rows}); use export_node_link_jsonl"
+        )
     nodes = assignments.select(
         "url", "cluster_id", "canonical_url"
     ).collect()
-    links = (
-        merge_parallel_edges(edges)
-        .select("url_a", "url_b", "status", "channels")
-        .collect()
-    )
+    links = merged.collect()
     return nodes, links
 
 

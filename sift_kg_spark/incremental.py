@@ -30,10 +30,15 @@ append workflow against a completed base run's snapshot directory:
 
 Cost model per batch: every base-side access is either a broadcast
 semi/anti join (narrow scan, no exchange) or a broadcast hash join whose
-build side is batch-derived; the only remaining O(corpus) costs are the
+build side is batch-derived; the only remaining O(corpus) cost is the
 narrow columnar base scans themselves (an Iceberg/bloom-filter index is
-the seam that would prune those too) and the combined `assignments`
-rewrite (an upsert at the Iceberg seam; see streaming.py compaction).
+the seam that would prune those too). Assignments are committed as a
+DELTA (``assignments_delta``: every member of every cluster the batch
+touched, plus all new docs, each row carrying ``prev_cluster_id``) —
+O(touched clusters), not O(corpus); the COMBINED view is derived lazily
+from base ∪ delta and only materialized on request
+(``materialize_assignments``). At the Iceberg seam the delta is exactly
+a MERGE INTO payload (delete prev_cluster_id groups, insert new rows).
 
 Equivalence contract: per-pair decisions are identical to the full run
 (same deterministic scores/thresholds); the final partition equals the
@@ -126,6 +131,7 @@ def run_dedup_incremental(
     workdir: str | None = None,
     resume: bool = True,
     base_tables: dict[str, DataFrame] | None = None,
+    materialize_assignments: bool = True,
 ) -> DedupResult:
     """Dedup an append batch against a completed base run.
 
@@ -138,6 +144,14 @@ def run_dedup_incremental(
     :class:`DedupResult` whose ``assignments`` / ``clusters`` cover the
     COMBINED corpus (base + batch) and whose ``dup_pairs`` /
     ``review_pairs`` carry only the new evidence.
+
+    ``materialize_assignments``: when True (default, the one-shot append
+    workflow) the combined assignments/clusters tables are committed to
+    ``workdir`` like every other stage. When False (the streaming
+    wrapper) only the O(touched-clusters) ``assignments_delta`` stage is
+    written; the returned combined tables are lazy views over
+    base ∪ delta, and the per-generation write volume is bounded by the
+    batch's blast radius instead of the corpus.
     """
     base_keys: DataFrame | None = None
     if base_tables is not None:
@@ -421,7 +435,7 @@ def run_dedup_incremental(
     review_pairs = dup_pairs.filter(F.col("status") == "flagged")
 
     # ---- 7. contracted clustering ------------------------------------------
-    def build_assignments() -> DataFrame:
+    def build_assignments_delta() -> DataFrame:
         edges = dup_pairs.filter(F.col("status") == "confirmed").select(
             "url_a", "url_b"
         )
@@ -477,10 +491,18 @@ def run_dedup_incremental(
                 )
             ),
             "cluster_id",
-        )
+        ).select("url", F.col("cluster_id").alias("prev_cluster_id"), "_label")
+        # affected_base is CLUSTER-scale (the full membership of every
+        # base cluster a new edge touched), NOT batch-scale: one new doc
+        # merging into a giant boilerplate cluster makes it that cluster's
+        # size. No broadcast hint here — AQE broadcasts it only when the
+        # measured build side is actually small (r3 ADVICE).
         base_members = base_prepared.select("url", "n_chars").join(
-            F.broadcast(affected_base), "url"
-        ).select("url", F.col("_label").alias("cluster_id"), "n_chars")
+            affected_base, "url"
+        ).select(
+            "url", F.col("_label").alias("cluster_id"), "n_chars",
+            "prev_cluster_id",
+        )
         new_members = (
             docs.select("url", "n_chars")
             .join(
@@ -492,6 +514,7 @@ def run_dedup_incremental(
                 "url",
                 F.coalesce("_label", F.col("url")).alias("cluster_id"),
                 "n_chars",
+                F.lit(None).cast("string").alias("prev_cluster_id"),
             )
         )
         affected = base_members.unionByName(new_members)
@@ -499,21 +522,49 @@ def run_dedup_incremental(
             F.desc("n_chars"), F.asc("url")
         )
         wsize = Window.partitionBy("cluster_id")
-        recomputed = (
+        return (
             affected.withColumn("canonical_url", F.first("url").over(w))
             .withColumn("cluster_size", F.count("*").over(wsize))
-            .select("url", "cluster_id", "canonical_url", "cluster_size")
+            .select(
+                "url", "cluster_id", "canonical_url", "cluster_size",
+                "prev_cluster_id",
+            )
+        )
+
+    # The per-generation WRITE: every member of every touched cluster plus
+    # all new docs — O(batch blast radius), never O(corpus). prev_cluster_id
+    # (null for new docs) is the delete key an Iceberg MERGE INTO would use.
+    assignments_delta = commit(
+        "assignments_delta", build_assignments_delta, ("dup_pairs", "prepared")
+    )
+
+    def build_assignments() -> DataFrame:
+        # touched base cluster ids: one row per merged cluster — batch-
+        # scale by construction (bounded by the number of new edges), so
+        # the anti-join probe set broadcasts safely where the full delta
+        # membership might not.
+        touched = (
+            assignments_delta.select(
+                F.col("prev_cluster_id").alias("cluster_id")
+            )
+            .filter(F.col("cluster_id").isNotNull())
+            .distinct()
         )
         untouched = base_assign.join(
-            F.broadcast(merged.select(F.col("url").alias("cluster_id"))),
-            "cluster_id",
-            "leftanti",
+            F.broadcast(touched), "cluster_id", "leftanti"
         ).select("url", "cluster_id", "canonical_url", "cluster_size")
-        return untouched.unionByName(recomputed)
+        return untouched.unionByName(
+            assignments_delta.select(
+                "url", "cluster_id", "canonical_url", "cluster_size"
+            )
+        )
 
-    assignments = commit(
-        "assignments", build_assignments, ("dup_pairs", "prepared")
-    )
+    if materialize_assignments:
+        assignments = commit(
+            "assignments", build_assignments, ("assignments_delta",)
+        )
+    else:
+        assignments = build_assignments().localCheckpoint(eager=False)
 
     def build_clusters() -> DataFrame:
         return assignments.groupBy("cluster_id").agg(
@@ -521,7 +572,10 @@ def run_dedup_incremental(
             F.min("canonical_url").alias("canonical_url"),
         )
 
-    clusters = commit("clusters", build_clusters, ("assignments",))
+    if materialize_assignments:
+        clusters = commit("clusters", build_clusters, ("assignments",))
+    else:
+        clusters = build_clusters().localCheckpoint(eager=False)
 
     return DedupResult(
         docs=docs,

@@ -8,6 +8,8 @@ Reference parity:
   (/root/reference/src/sift_kg/visualize.py:218-226);
 * G3 bridge detection — nodes with neighbors in >= 2 communities
   (/root/reference/src/sift_kg/graph/communities.py:164-212);
+* G5 ego-subgraph BFS to depth k
+  (/root/reference/src/sift_kg/graph/communities.py:292-376);
 * A8 cross-community pair counts — shared edges + distinct bridge nodes
   per community pair (/root/reference/src/sift_kg/graph/communities.py:
   264-289).
@@ -70,6 +72,48 @@ def top_hubs_with_neighbors(
     return F.broadcast(hubs).join(sym, "hub_url").select(
         "hub_url", "degree", "rank", "neighbor_url"
     )
+
+
+def ego_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    depth: int = 2,
+    col_a: str = "url_a",
+    col_b: str = "url_b",
+) -> DataFrame:
+    """(seed, node, hop) — nodes within ``depth`` undirected hops of each
+    seed, ``hop`` = first-reach distance (G5 ego-subgraph BFS; reference
+    walks neighbors-of-neighbors driver-side, communities.py:292-376).
+
+    ``seeds``: one column named ``seed``. Distributed frontier expansion:
+    each hop is one equi-join of the current frontier against the
+    symmetric edge list plus an anti-join against the visited set (U4) —
+    no driver-side adjacency, no quadratic re-expansion of already-seen
+    nodes. ``depth`` is expected small (ego graphs); each iteration's
+    frontier is localCheckpointed so plan depth stays O(1) per hop.
+    """
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    sym = edges.select(
+        F.col(col_a).alias("src"), F.col(col_b).alias("dst")
+    ).unionByName(
+        edges.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst"))
+    )
+    frontier = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).alias("hop")
+    )
+    visited = frontier
+    for h in range(1, depth + 1):
+        frontier = (
+            frontier.join(sym, frontier.node == sym.src)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "leftanti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(frontier)
+    return visited.filter(F.col("hop") > 0)
 
 
 def _edges_with_clusters(

@@ -78,6 +78,21 @@ def candidate_pairs(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
     agg + broadcast-join shape shuffled the key table three times and its
     driver-side broadcast build was the largest level-invariant cost in
     the whole pipeline (BENCH/SCALING.md round-3 decomposition).
+
+    Skew tradeoff of the window (r3 ADVICE, measured in BENCH/SKEW.md):
+    WindowExec has no map-side partial aggregation and AQE's skew-join
+    splitter cannot split a window partition, so a mega-bucket's sizing
+    runs in the one task that owns its key. The buffer is spillable
+    (UnsafeExternalSorter) and the work is O(bucket) counting, not
+    O(bucket^2) pairing — the measured straggler cost of a planted
+    100k-member bucket is seconds, bounded and linear, while the pairing
+    itself stays O(n) via the star branch below. Keys are near-uniform
+    int64 hashes, so bucket skew never compounds with partition skew
+    (many buckets share a partition). If a corpus ever makes this the
+    bottleneck, the escape hatch is a two-level size count (pre-salted
+    partial count per (key, uid % S) then re-agg) at the cost of a second
+    exchange — rejected for now because the single exchange is worth
+    more (it cut the level-invariant cost F by ~16 s, SCALING.md r3).
     """
     key_cols = ["lang", "key"] if cfg.partition_by_lang else ["key"]
 

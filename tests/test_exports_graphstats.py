@@ -212,3 +212,98 @@ class TestGraphStats:
         assert got["a3"].own_cluster == "A"
         assert got["a3"].n_foreign_clusters == 1
         assert got["a3"].n_cross_edges == 1
+
+
+class TestEgoBfs:
+    """G5 ego-BFS as a library operator (ref communities.py:292-376):
+    first-reach hop labelling, visited-set anti-join, multi-seed."""
+
+    # path p1-p2-p3-p4-p5 plus a triangle t1-t2-t3 hanging off p2
+    EDGES = [
+        ("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"),
+        ("p2", "t1"), ("t1", "t2"), ("t2", "t3"), ("t1", "t3"),
+    ]
+
+    def _edges(self, spark):
+        return spark.createDataFrame(self.EDGES, "url_a string, url_b string")
+
+    def test_depth1_is_direct_neighbors(self, spark):
+        from sift_kg_spark.operators.graphstats import ego_bfs
+
+        seeds = spark.createDataFrame([("p2",)], "seed string")
+        got = {(r.seed, r.node, r.hop) for r in
+               ego_bfs(self._edges(spark), seeds, depth=1).collect()}
+        assert got == {("p2", "p1", 1), ("p2", "p3", 1), ("p2", "t1", 1)}
+
+    def test_first_reach_hop_and_no_seed_reentry(self, spark):
+        from sift_kg_spark.operators.graphstats import ego_bfs
+
+        seeds = spark.createDataFrame([("t1",)], "seed string")
+        got = {r.node: r.hop for r in
+               ego_bfs(self._edges(spark), seeds, depth=3).collect()}
+        # t2/t3 both hop 1 (triangle: NOT re-labelled 2 via each other);
+        # seed itself never re-enters despite the cycle back to t1
+        assert got == {
+            "t2": 1, "t3": 1, "p2": 1, "p1": 2, "p3": 2, "p4": 3,
+        }
+
+    def test_multi_seed_independent_frontiers(self, spark):
+        from sift_kg_spark.operators.graphstats import ego_bfs
+
+        seeds = spark.createDataFrame([("p1",), ("p5",)], "seed string")
+        got = {(r.seed, r.node): r.hop for r in
+               ego_bfs(self._edges(spark), seeds, depth=2).collect()}
+        assert got[("p1", "p2")] == 1 and got[("p1", "p3")] == 2
+        assert got[("p1", "t1")] == 2
+        assert got[("p5", "p4")] == 1 and got[("p5", "p3")] == 2
+        assert ("p5", "p2") not in got  # 3 hops away
+
+    def test_depth_validation(self, spark):
+        import pytest
+
+        from sift_kg_spark.operators.graphstats import ego_bfs
+
+        seeds = spark.createDataFrame([("p1",)], "seed string")
+        with pytest.raises(ValueError):
+            ego_bfs(self._edges(spark), seeds, depth=0)
+
+
+class TestSearchSubstring:
+    """F4/F5 substring search operator (ref cli.py:603-622: case-
+    insensitive scan over name OR aliases)."""
+
+    ROWS = [
+        ("u1", "The Round Table", "arthur|knights"),
+        ("u2", "round trip", "travel"),
+        ("u3", "nothing here", "TABLEAU|x"),
+        ("u4", "plain", "none"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "url string, name string, aliases string"
+        )
+
+    def test_case_insensitive_multi_column_or(self, spark):
+        from sift_kg_spark.operators.search import search_substring
+
+        got = {r.url for r in search_substring(
+            self._df(spark), "Table", cols=("name", "aliases")
+        ).collect()}
+        assert got == {"u1", "u3"}
+
+    def test_case_sensitive(self, spark):
+        from sift_kg_spark.operators.search import search_substring
+
+        got = {r.url for r in search_substring(
+            self._df(spark), "Table", cols=("name",), case_insensitive=False
+        ).collect()}
+        assert got == {"u1"}
+
+    def test_empty_cols_rejected(self, spark):
+        import pytest
+
+        from sift_kg_spark.operators.search import search_predicate
+
+        with pytest.raises(ValueError):
+            search_predicate("x", cols=())

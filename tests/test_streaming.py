@@ -15,7 +15,11 @@ import os
 from pyspark.sql import functions as F
 
 from sift_kg_spark.pipeline import run_dedup
-from sift_kg_spark.streaming import latest_generation, stream_dedup
+from sift_kg_spark.streaming import (
+    latest_generation,
+    read_assignments,
+    stream_dedup,
+)
 
 
 def _amap(df):
@@ -52,11 +56,7 @@ def test_stream_generations_match_full_run(spark, cfg, corpus, tmp_path_factory)
 
     gen = latest_generation(state)
     assert gen == 2, f"expected 3 generations, got {gen}"
-    got = _amap(
-        spark.read.parquet(
-            os.path.join(state, f"gen={gen}", "assignments.parquet")
-        )
-    )
+    got = _amap(read_assignments(spark, state))
     assert set(got) == set(want)
     mism = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
     assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
@@ -104,11 +104,60 @@ def test_stream_compaction_bounds_generations(spark, cfg, tmp_path_factory):
         workdir=os.path.join(str(wd), "full"),
     )
     want = _amap(full.assignments)
-    got = _amap(
-        spark.read.parquet(
-            os.path.join(state, f"gen={gen}", "assignments.parquet")
-        )
-    )
+    got = _amap(read_assignments(spark, state))
     assert set(got) == set(want)
     mism = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
     assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
+
+
+def test_stream_assignments_write_is_delta_sized(spark, cfg, tmp_path_factory):
+    """r3 VERDICT #3: a streaming generation writes only the assignments
+    DELTA — batch docs + members of touched base clusters — never the
+    combined corpus table (whose rewrite was the one O(corpus)/batch cost
+    left). Row counts of the written files prove it."""
+    from sift_kg_spark.fixtures import generate_corpus
+    from sift_kg_spark.streaming import process_batch
+
+    pages_pdf = generate_corpus(150, seed=31)[0].drop(columns=["true_text"])
+    wd = tmp_path_factory.mktemp("stream_delta")
+    state = os.path.join(str(wd), "state")
+    os.makedirs(state, exist_ok=True)
+
+    n_batches = 3
+    for i in range(n_batches):
+        process_batch(
+            spark,
+            spark.createDataFrame(pages_pdf.iloc[i::n_batches]),
+            state,
+            cfg,
+            batch_id=i,
+            compact_every=0,
+        )
+
+    total = read_assignments(spark, state).count()
+    for g in range(1, n_batches):
+        gen_dir = os.path.join(state, f"gen={g}")
+        # no combined table on disk for incremental generations
+        assert not os.path.exists(os.path.join(gen_dir, "assignments.parquet"))
+        delta = spark.read.parquet(
+            os.path.join(gen_dir, "assignments_delta.parquet")
+        )
+        n_delta = delta.count()
+        # exact blast radius: batch docs + members of touched base clusters
+        batch_assigned = (
+            spark.read.parquet(os.path.join(gen_dir, "prepared.parquet"))
+            .filter(F.col("reason").isNull())
+            .count()
+        )
+        touched = (
+            delta.select(F.col("prev_cluster_id").alias("cluster_id"))
+            .filter(F.col("cluster_id").isNotNull())
+            .distinct()
+        )
+        n_touched_members = (
+            read_assignments(spark, state, g - 1)
+            .join(touched, "cluster_id", "leftsemi")
+            .count()
+        )
+        assert n_delta == batch_assigned + n_touched_members
+        assert n_delta < total, "delta must not be the combined rewrite"

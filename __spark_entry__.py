@@ -226,6 +226,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_id_stopword_votes"] = lang_id_stopword_votes
 
+    # ---- span (line) dedup + repetition filters (C4/CCNet/Gopher) --------
+    # operators/linededup: corpus-level chunk dedup and per-doc repetition
+    # stats, fully SQL-expressible -> directly oracled (no invariant
+    # projection needed).
+
+    def boilerplate_chunk_stats(spark, sf):
+        from sift_kg_spark.operators.linededup import (
+            boilerplate_chunks,
+            chunk_segments,
+        )
+
+        chunks = chunk_segments(
+            _t(spark, sf, "documents"), "doc_id", "text", chunk_tokens=4
+        )
+        return boilerplate_chunks(chunks, "doc_id", min_docs=3).select(
+            "chunk", "n_docs"
+        )
+
+    q["boilerplate_chunk_stats"] = boilerplate_chunk_stats
+
+    def line_dedup_clean(spark, sf):
+        from sift_kg_spark.operators.linededup import line_dedup
+
+        return line_dedup(
+            _t(spark, sf, "documents"),
+            "doc_id",
+            "text",
+            chunk_tokens=4,
+            min_docs=3,
+        ).select("doc_id", "n_chunks", "n_boilerplate", "clean_text")
+
+    q["line_dedup_clean"] = line_dedup_clean
+
+    def doc_repetition_stats(spark, sf):
+        from sift_kg_spark.operators.linededup import repetition_stats
+
+        return repetition_stats(
+            _t(spark, sf, "documents"), "doc_id", "text", chunk_tokens=4
+        ).select("doc_id", "n_chunks", "dup_chunk_frac", "top_bigram_frac")
+
+    q["doc_repetition_stats"] = doc_repetition_stats
+
     # ---- n-gram Jaccard near-dup (J4 verify analog, integer-exact) -------
 
     def ngram_jaccard_pairs(spark, sf):
@@ -1164,6 +1206,63 @@ def oracle_sql() -> dict[str, str]:
                     WHEN votes_de > 0 THEN 'de'
                     ELSE 'und' END AS guess
         FROM votes
+    """
+
+    # span dedup / repetition (operators/linededup, K=4 non-overlapping
+    # token chunks; DuckDB lateral-unnest over range() mirrors Spark's
+    # transform(sequence) chunker)
+    _CHUNKS_CTE = """
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        chunks AS (
+            SELECT doc_id, i AS chunk_idx,
+                   array_to_string(t[i*4+1 : i*4+4], ' ') AS chunk
+            FROM toks,
+                 LATERAL UNNEST(range(CAST(ceil(len(t)/4.0) AS BIGINT))) AS u(i)
+        ),
+        bp AS (
+            SELECT chunk, count(DISTINCT doc_id) AS n_docs
+            FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+        )
+    """
+
+    o["boilerplate_chunk_stats"] = f"""
+        WITH {_CHUNKS_CTE}
+        SELECT chunk, n_docs FROM bp
+    """
+
+    o["line_dedup_clean"] = f"""
+        WITH {_CHUNKS_CTE}
+        SELECT c.doc_id,
+               count(*) AS n_chunks,
+               count(bp.chunk) AS n_boilerplate,
+               coalesce(
+                   string_agg(CASE WHEN bp.chunk IS NULL THEN c.chunk END,
+                              ' ' ORDER BY c.chunk_idx),
+                   '') AS clean_text
+        FROM chunks c LEFT JOIN bp ON c.chunk = bp.chunk
+        GROUP BY c.doc_id
+    """
+
+    o["doc_repetition_stats"] = f"""
+        WITH {_CHUNKS_CTE},
+        cstats AS (
+            SELECT doc_id, count(*) AS n_chunks,
+                   1.0 - count(DISTINCT chunk) / CAST(count(*) AS DOUBLE)
+                       AS dup_chunk_frac
+            FROM chunks GROUP BY 1
+        ),
+        bigrams AS (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+            FROM toks, LATERAL UNNEST(range(1, CAST(len(t) AS BIGINT))) AS u(i)
+        ),
+        bstats AS (
+            SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+            FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2)
+            GROUP BY doc_id
+        )
+        SELECT c.doc_id, c.n_chunks, c.dup_chunk_frac,
+               coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
+        FROM cstats c LEFT JOIN bstats b ON c.doc_id = b.doc_id
     """
 
     o["ngram_jaccard_pairs"] = """

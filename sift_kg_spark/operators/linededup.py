@@ -1,0 +1,185 @@
+"""Corpus-level span (line) dedup + per-document repetition stats.
+
+Training-data pipeline operators beyond the reference's doc-level dedup
+(the reference dedups whole entities/documents; web-scale corpora also
+need SUB-document dedup — C4 removed any three-sentence span occurring
+more than once in the corpus, CCNet hashes paragraphs, Gopher filters
+docs by internal repetition). Web text here carries no reliable sentence
+or line structure (the synthetic corpus is a single-space token stream),
+so the unit is a fixed-size NON-OVERLAPPING token chunk — the same
+shingle vocabulary as the MinHash path (functions/hashing) but disjoint,
+so each token belongs to exactly one chunk and removing a chunk removes
+its tokens exactly once.
+
+All three operators are pure JVM dataflow (split / slice / transform /
+posexplode / groupBy — no Python in the hot path) and SQL-expressible,
+so the driver oracles them directly rather than via invariant
+projections.
+
+Scale shape (10^12 docs):
+
+* ``chunk_segments`` — narrow map (one explode, ~n_tokens/K rows/doc).
+* ``boilerplate_chunks`` — groupBy(chunk) with map-side partial
+  aggregation: popular chunks (the ones that matter) collapse to one
+  row per map partition before the shuffle, so shuffle volume is
+  ~distinct-chunks-per-partition, not corpus tokens.
+* ``line_dedup`` — the boilerplate set is tiny relative to the corpus
+  (only chunks repeated across >= min_docs docs), so the anti/left join
+  back is broadcastable; AQE converts it at runtime once the agg's size
+  is known. Re-assembly is a per-doc groupBy whose fan-in is bounded by
+  chunks-per-doc (document length / K), never corpus-sized.
+* ``repetition_stats`` — per-doc only (groupBy doc_id, and a
+  doc-local bigram mode); no corpus-wide state at all, embarrassingly
+  parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _chunk_array(text: Column, chunk_tokens: int, delim: str) -> Column:
+    """array<string> of non-overlapping ``chunk_tokens``-token chunks of
+    ``text`` (last chunk may be short). Empty for null text."""
+    toks = F.split(text, delim)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    # sequence(0, n-1) DESCENDS for n == 0 (start > stop) — guard it
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), delim
+        ),
+    )
+
+
+def chunk_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 4,
+    delim: str = " ",
+) -> DataFrame:
+    """(id, chunk_idx, chunk) — one row per non-overlapping token chunk,
+    ``chunk_idx`` preserving document order for re-assembly."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(_chunk_array(F.col(text_col), chunk_tokens, delim)).alias(
+            "chunk_idx", "chunk"
+        ),
+    )
+
+
+def boilerplate_chunks(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Chunks appearing in >= ``min_docs`` DISTINCT documents:
+    (chunk, n_docs). The corpus-wide boilerplate vocabulary — small by
+    construction (only repeated spans survive the HAVING)."""
+    return (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 4,
+    min_docs: int = 3,
+    delim: str = " ",
+) -> DataFrame:
+    """C4-style span dedup: remove every chunk that occurs in >=
+    ``min_docs`` distinct documents, re-assembling the survivors in
+    document order. Returns one row per input doc (null-text docs
+    excluded, as they have no chunks):
+
+        (id, n_chunks, n_boilerplate, clean_text)
+
+    ``clean_text`` is empty-string for a doc that was pure boilerplate —
+    downstream quality filters (quarantine_near_empty) then drop it,
+    mirroring C4's post-dedup length floor.
+    """
+    chunks = chunk_segments(docs, id_col, text_col, chunk_tokens, delim)
+    bp = boilerplate_chunks(chunks, id_col, min_docs).select(
+        "chunk", F.lit(1).alias("_bp")
+    )
+    marked = chunks.join(bp, "chunk", "left")
+    kept_struct = F.when(
+        F.col("_bp").isNull(), F.struct("chunk_idx", "chunk")
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.count("_bp").alias("n_boilerplate"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk"],
+            ),
+            delim,
+        ).alias("clean_text"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 4,
+    delim: str = " ",
+) -> DataFrame:
+    """Gopher-style per-document repetition quality signals:
+
+        (id, n_chunks, dup_chunk_frac, top_bigram_frac)
+
+    * ``dup_chunk_frac`` — fraction of the doc's chunks that are
+      repeats of another chunk IN THE SAME DOC (Gopher's duplicate-line
+      fraction analog): 1 - distinct/total.
+    * ``top_bigram_frac`` — occurrences of the doc's most frequent
+      overlapping token bigram / total bigrams (Gopher's top-2-gram
+      character fraction, token-count flavored). 0.0 for docs with < 2
+      tokens.
+
+    Both are doc-local aggregates — no corpus-wide shuffle.
+    """
+    toks = F.split(F.col(text_col), delim)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(delim), b),
+    )
+    base = docs.select(
+        F.col(id_col),
+        _chunk_array(F.col(text_col), chunk_tokens, delim).alias("_chunks"),
+        bigrams.alias("_bigrams"),
+    )
+    chunk_rows = base.select(id_col, F.explode("_chunks").alias("chunk"))
+    chunk_stats = chunk_rows.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("chunk") / F.count("*").cast("double")
+        ).alias("dup_chunk_frac"),
+    )
+    bigram_rows = base.select(id_col, F.explode("_bigrams").alias("bg"))
+    bigram_stats = (
+        bigram_rows.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c").cast("double")).alias("top_bigram_frac"))
+    )
+    return chunk_stats.join(bigram_stats, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        "dup_chunk_frac",
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+    )

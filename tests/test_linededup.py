@@ -1,0 +1,116 @@
+"""Span (line) dedup + repetition stats (operators/linededup).
+
+Planted-construction tests: documents built from known 4-token chunks so
+boilerplate membership, clean-text reassembly, and the Gopher fractions
+are computable by hand.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from sift_kg_spark.operators.linededup import (
+    boilerplate_chunks,
+    chunk_segments,
+    line_dedup,
+    repetition_stats,
+)
+
+BP = "cookie notice accept all"  # the planted boilerplate chunk
+U = ["alpha beta gamma delta", "eps zeta eta theta", "iota kappa mu nu"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # doc 0: boilerplate + unique
+        (0, f"{BP} {U[0]}"),
+        # doc 1: unique + boilerplate (different position)
+        (1, f"{U[1]} {BP}"),
+        # doc 2: boilerplate twice + unique -> within-doc dup chunk
+        (2, f"{BP} {BP} {U[2]}"),
+        # doc 3: pure boilerplate -> clean_text must be ''
+        (3, BP),
+        # doc 4: no boilerplate at all
+        (4, f"{U[0]} {U[1]}"),
+        # doc 5: short tail chunk (6 tokens -> chunks of 4 + 2)
+        (5, "one two three four five six"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+class TestChunking:
+    def test_segments_preserve_order_and_tail(self, docs):
+        seg = chunk_segments(docs, chunk_tokens=4).toPandas()
+        d5 = seg[seg.doc_id == 5].sort_values("chunk_idx")
+        assert d5.chunk.tolist() == ["one two three four", "five six"]
+        d2 = seg[seg.doc_id == 2].sort_values("chunk_idx")
+        assert d2.chunk.tolist() == [BP, BP, U[2]]
+
+    def test_boilerplate_needs_distinct_docs(self, docs):
+        seg = chunk_segments(docs, chunk_tokens=4)
+        # BP appears in docs {0,1,2,3} -> 4 distinct docs; U[0] in {0,4}
+        # (2 docs) and doc 2's double-BP counts once
+        bp3 = boilerplate_chunks(seg, min_docs=3).toPandas()
+        assert bp3.chunk.tolist() == [BP]
+        assert bp3.n_docs.tolist() == [4]
+        bp2 = boilerplate_chunks(seg, min_docs=2).toPandas()
+        assert set(bp2.chunk) == {BP, U[0], U[1]}
+
+
+class TestLineDedup:
+    def test_clean_text_and_counts(self, docs):
+        out = (
+            line_dedup(docs, chunk_tokens=4, min_docs=3)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[0, "clean_text"] == U[0]
+        assert out.loc[1, "clean_text"] == U[1]
+        # order preserved, both copies removed
+        assert out.loc[2, "clean_text"] == U[2]
+        assert out.loc[2, "n_boilerplate"] == 2
+        # pure boilerplate -> empty survivor
+        assert out.loc[3, "clean_text"] == ""
+        assert out.loc[3, "n_chunks"] == 1
+        # untouched doc keeps its exact text
+        assert out.loc[4, "clean_text"] == f"{U[0]} {U[1]}"
+        assert out.loc[4, "n_boilerplate"] == 0
+        assert out.loc[5, "clean_text"] == "one two three four five six"
+
+    def test_null_text_docs_are_excluded(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d", None]})
+        )
+        out = line_dedup(df, chunk_tokens=4, min_docs=2).toPandas()
+        assert out.doc_id.tolist() == [0]
+
+
+class TestRepetitionStats:
+    def test_dup_chunk_frac(self, docs):
+        out = (
+            repetition_stats(docs, chunk_tokens=4)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # doc 2: chunks [BP, BP, U2] -> 1 - 2/3
+        assert out.loc[2, "dup_chunk_frac"] == pytest.approx(1 - 2 / 3)
+        assert out.loc[0, "dup_chunk_frac"] == 0.0
+
+    def test_top_bigram_frac(self, spark):
+        # 'a b a b a' -> bigrams [a b, b a, a b, b a] -> top 2/4
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["a b a b a", "solo"]})
+        )
+        out = (
+            repetition_stats(df, chunk_tokens=4)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "top_bigram_frac"] == pytest.approx(0.5)
+        # single-token doc: no bigrams -> 0.0 (coalesced), still present
+        assert out.loc[1, "top_bigram_frac"] == 0.0
+        assert out.loc[1, "n_chunks"] == 1

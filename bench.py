@@ -41,7 +41,9 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "embedding_cosine_topk",
     "ann_lsh_topk_embeddings",
+    "ann_ivf_topk_embeddings",
     "multimodal_ann_twins",
+    "line_dedup_clean",
     "cluster_pair_stats",
     "tpch_q1_pricing",
     "region_revenue",

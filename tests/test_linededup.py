@@ -88,6 +88,37 @@ class TestLineDedup:
         assert out.doc_id.tolist() == [0]
 
 
+class TestChunkerFuzz:
+    def test_chunker_matches_python_oracle(self, spark):
+        """Seeded fuzz: 200 random token streams (ragged lengths incl.
+        empty-ish, repeated tokens, len % K in {0..K-1}) chunked by the
+        Spark expression must equal a pure-Python chunker, per doc and
+        in order."""
+        import random
+
+        rng = random.Random(4242)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = []
+        for did in range(200):
+            n = rng.randrange(1, 40)
+            rows.append((did, " ".join(rng.choice(vocab) for _ in range(n))))
+        for k in (1, 3, 4, 7):
+            df = spark.createDataFrame(
+                pd.DataFrame(rows, columns=["doc_id", "text"])
+            )
+            got = (
+                chunk_segments(df, chunk_tokens=k)
+                .toPandas()
+                .sort_values(["doc_id", "chunk_idx"])
+            )
+            want = []
+            for did, text in rows:
+                toks = text.split(" ")
+                for ci in range(0, (len(toks) + k - 1) // k):
+                    want.append((did, ci, " ".join(toks[ci * k : ci * k + k])))
+            assert list(map(tuple, got.to_records(index=False))) == want
+
+
 class TestRepetitionStats:
     def test_dup_chunk_frac(self, docs):
         out = (

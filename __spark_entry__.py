@@ -193,6 +193,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_scores"] = quality_scores
 
+    def gopher_quality_flags(spark, sf):
+        # Gopher rule-based quality gate (Rae et al. 2021 A1.1) as a
+        # library operator: word-count / mean-word-length / symbol-ratio
+        # / distinct-stopword rules + conjunctive keep bit. Thresholds
+        # tuned so the synthetic corpus splits on every rule.
+        from sift_kg_spark.functions.quality import gopher_flags
+
+        return gopher_flags(
+            _t(spark, sf, "documents"),
+            min_words=40,
+            max_words=100_000,
+            min_mean_word_len=4.0,
+            max_mean_word_len=10.0,
+            max_symbol_ratio=0.1,
+            min_stopwords=2,
+        ).withColumn(
+            "mean_word_len", F.round("mean_word_len", 6)
+        ).withColumn("symbol_ratio", F.round("symbol_ratio", 6))
+
+    q["gopher_quality_flags"] = gopher_quality_flags
+
+    def url_canonical_dedup(spark, sf):
+        # Crawl-native URL tier: canonicalize (case, ports, fragments,
+        # tracking params, param order, trailing slash) then collapse
+        # captures per canonical URL. URLs are synthesized
+        # deterministically from doc_id so the oracle builds the exact
+        # same raw strings and re-derives the canonical form in SQL.
+        from sift_kg_spark.functions.urls import canonical_url
+
+        d = _t(spark, sf, "documents")
+        i = F.col("doc_id")
+        scheme = (
+            F.when(i % 3 == 0, "HTTP://")
+            .when(i % 3 == 1, "https://")
+            .otherwise("HTTPS://")
+        )
+        host = F.concat(F.lit("WWW.Site"), (i % 7).cast("string"), F.lit(".COM"))
+        port = (
+            F.when(i % 4 == 0, ":80")
+            .when(i % 4 == 1, ":443")
+            .when(i % 4 == 2, ":8080")
+            .otherwise("")
+        )
+        path = F.concat(
+            F.lit("/Page/"),
+            (i % 13).cast("string"),
+            F.when(i % 5 == 0, "/").otherwise(""),
+        )
+        query = (
+            F.when(i % 6 == 0, "?utm_source=feed&b=2&a=1")
+            .when(i % 6 == 1, "?b=2&a=1")
+            .when(i % 6 == 2, "?gclid=x")
+            .when(i % 6 == 3, "?a=1&utm_campaign=Q&b=2")
+            .otherwise("")
+        )
+        frag = F.when(i % 2 == 1, "#sec").otherwise("")
+        raw = F.concat(scheme, host, port, path, query, frag)
+        return (
+            d.select(canonical_url(raw).alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_captures"))
+        )
+
+    q["url_canonical_dedup"] = url_canonical_dedup
+
     def lang_id_stopword_votes(spark, sf):
         d = _t(spark, sf, "documents")
         padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
@@ -374,6 +439,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
+
+    def semantic_dedup_prune(spark, sf):
+        # SemDeDup-style embedding dedup (Abbas et al. 2023): cosine
+        # near-dup pairs -> connected components -> keep the min-id
+        # representative per semantic cluster. At sf0.01 the pair stage
+        # is the exact label-blocked cosine join (the oracle); at scale
+        # the same prune runs over IVF-cell-scoped pairs (operators/ann).
+        e = _t(spark, sf, "embeddings")
+        node = F.lpad(F.col("vec_id").cast("string"), 8, "0")
+        pairs = embedding_near_dup_pairs(spark, sf).select(
+            F.lpad(F.col("vec_a").cast("string"), 8, "0").alias("url_a"),
+            F.lpad(F.col("vec_b").cast("string"), 8, "0").alias("url_b"),
+        )
+        from sift_kg_spark.operators.components import connected_components
+
+        cc = connected_components(pairs).select(
+            F.col("url").alias("node"), F.col("cluster_id").alias("comp")
+        )
+        return (
+            e.select(node.alias("node"), "vec_id")
+            .join(cc, "node", "left")
+            .select(
+                "vec_id",
+                F.coalesce("comp", "node").alias("component"),
+                (
+                    F.coalesce("comp", "node") == F.col("node")
+                ).cast("int").alias("is_kept"),
+            )
+        )
+
+    q["semantic_dedup_prune"] = semantic_dedup_prune
 
     # ---- joins / aggregations / windows on the star schema ----------------
 
@@ -1187,6 +1283,103 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    o["gopher_quality_flags"] = """
+        WITH s AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t,
+                   length(text) - length(regexp_replace(text, '[#.,;:!?]', '', 'g'))
+                       AS n_symbols
+            FROM documents
+        ), sig AS (
+            SELECT doc_id,
+                   len(t) AS n_words,
+                   CAST(list_sum(list_transform(t, x -> len(x)))
+                        / greatest(len(t), 1) AS DOUBLE) AS mean_word_len,
+                   CAST(n_symbols / greatest(len(t), 1) AS DOUBLE)
+                       AS symbol_ratio,
+                   len(list_intersect(t, ['the','a','an','and','of','to',
+                                          'in','is','that','it']))
+                       AS n_stopwords
+            FROM s
+        )
+        SELECT doc_id, n_words,
+               round(mean_word_len, 6) AS mean_word_len,
+               round(symbol_ratio, 6) AS symbol_ratio,
+               n_stopwords,
+               CAST(n_words BETWEEN 40 AND 100000 AS INT) AS words_ok,
+               CAST(mean_word_len BETWEEN 4.0 AND 10.0 AS INT) AS word_len_ok,
+               CAST(symbol_ratio <= 0.1 AS INT) AS symbol_ok,
+               CAST(n_stopwords >= 2 AS INT) AS stopword_ok,
+               CAST(n_words BETWEEN 40 AND 100000
+                    AND mean_word_len BETWEEN 4.0 AND 10.0
+                    AND symbol_ratio <= 0.1
+                    AND n_stopwords >= 2 AS INT) AS keep
+        FROM sig
+    """
+
+    o["url_canonical_dedup"] = """
+        WITH raw AS (
+            SELECT (CASE doc_id % 3 WHEN 0 THEN 'HTTP://'
+                                    WHEN 1 THEN 'https://'
+                                    ELSE 'HTTPS://' END)
+                || 'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+                || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                                    WHEN 2 THEN ':8080' ELSE '' END)
+                || '/Page/' || CAST(doc_id % 13 AS VARCHAR)
+                || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                || (CASE doc_id % 6
+                        WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+                        WHEN 1 THEN '?b=2&a=1'
+                        WHEN 2 THEN '?gclid=x'
+                        WHEN 3 THEN '?a=1&utm_campaign=Q&b=2'
+                        ELSE '' END)
+                || (CASE WHEN doc_id % 2 = 1 THEN '#sec' ELSE '' END)
+                AS u
+            FROM documents
+        ), nofrag AS (
+            SELECT regexp_replace(u, '#.*$', '') AS u FROM raw
+        ), lowhead AS (
+            SELECT lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1))
+                   || substr(u, length(regexp_extract(u,
+                          '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) + 1) AS u
+            FROM nofrag
+        ), noport AS (
+            SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       u,
+                       '^(http://[^/:?]+):80([/?])', '\\1\\2'),
+                       '^(http://[^/:?]+):80$', '\\1'),
+                       '^(https://[^/:?]+):443([/?])', '\\1\\2'),
+                       '^(https://[^/:?]+):443$', '\\1') AS u
+            FROM lowhead
+        ), qsplit AS (
+            SELECT regexp_replace(u, '\\?.*$', '') AS base,
+                   CASE WHEN contains(u, '?')
+                        THEN regexp_replace(u, '^[^?]*\\?', '')
+                        ELSE '' END AS qs
+            FROM noport
+        ), rejoined AS (
+            SELECT CASE WHEN len(p) > 0
+                        THEN base || '?' || array_to_string(p, '&')
+                        ELSE base END AS u
+            FROM (
+                SELECT base,
+                       list_sort(list_filter(string_split(qs, '&'),
+                           x -> x <> '' AND NOT regexp_matches(x,
+                               '^(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)=')))
+                           AS p
+                FROM qsplit
+            )
+        ), canon AS (
+            SELECT regexp_replace(regexp_replace(
+                       u,
+                       '(://[^/?]+/[^?]*[^/?])/\\?', '\\1?'),
+                       '(://[^/?]+/[^?]*[^/?])/$', '\\1') AS canonical_url
+            FROM rejoined
+        )
+        SELECT canonical_url, count(*) AS n_captures
+        FROM canon GROUP BY 1
+    """
+
     o["lang_id_stopword_votes"] = """
         WITH padded AS (
             SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
@@ -1313,6 +1506,32 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+    """
+
+    o["semantic_dedup_prune"] = """
+        WITH RECURSIVE pairs AS (
+            SELECT lpad(CAST(a.vec_id AS VARCHAR), 8, '0') AS a,
+                   lpad(CAST(b.vec_id AS VARCHAR), 8, '0') AS b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        ),
+        sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM sym),
+        reach(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+        ),
+        comp AS (SELECT node, min(label) AS comp FROM reach GROUP BY node)
+        SELECT e.vec_id,
+               coalesce(c.comp, lpad(CAST(e.vec_id AS VARCHAR), 8, '0'))
+                   AS component,
+               CAST(coalesce(c.comp, lpad(CAST(e.vec_id AS VARCHAR), 8, '0'))
+                    = lpad(CAST(e.vec_id AS VARCHAR), 8, '0') AS INT)
+                   AS is_kept
+        FROM embeddings e
+        LEFT JOIN comp c ON c.node = lpad(CAST(e.vec_id AS VARCHAR), 8, '0')
     """
 
     o["tpch_q1_pricing"] = """

@@ -1,0 +1,134 @@
+"""Gopher quality flags + URL canonicalization / capture dedup."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+
+from sift_kg_spark.functions.quality import gopher_flags
+from sift_kg_spark.functions.urls import (
+    canonical_url,
+    canonicalize,
+    dedup_captures,
+)
+
+from pyspark.sql import functions as F
+
+
+class TestGopherFlags:
+    def _flags(self, spark, rows, **kw):
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        out = gopher_flags(df, **kw).toPandas().set_index("doc_id")
+        return out
+
+    def test_word_count_bounds(self, spark):
+        rows = [
+            (0, "the a " + "word " * 48),          # 50 words -> ok
+            (1, "the a of to"),                     # 4 words -> too short
+        ]
+        out = self._flags(spark, rows, min_words=50)
+        assert out.loc[0, "words_ok"] == 1
+        assert out.loc[1, "words_ok"] == 0
+        assert out.loc[1, "keep"] == 0
+
+    def test_mean_word_length(self, spark):
+        rows = [
+            (0, "aa " * 30 + "the a"),               # mean ~2 -> reject
+            (1, "pneumonoultramicroscopics " * 40),  # mean 25 -> reject
+            (2, "the quick brown fox and dog " * 10),
+        ]
+        out = self._flags(spark, rows, min_words=5)
+        assert out.loc[0, "word_len_ok"] == 0
+        assert out.loc[1, "word_len_ok"] == 0
+        assert out.loc[2, "word_len_ok"] == 1
+
+    def test_symbol_ratio_and_stopwords(self, spark):
+        junk = "#### ## # !!! ... ;; " * 10
+        clean = "the table and a chair of wood " * 10
+        out = self._flags(spark, [(0, junk), (1, clean)], min_words=5)
+        assert out.loc[0, "symbol_ok"] == 0
+        assert out.loc[0, "stopword_ok"] == 0
+        assert out.loc[1, "symbol_ok"] == 1
+        assert out.loc[1, "stopword_ok"] == 1
+        assert out.loc[1, "keep"] == 1
+
+    def test_stopwords_counted_distinct(self, spark):
+        # 'the' repeated 10x is still ONE distinct stopword
+        out = self._flags(
+            spark, [(0, "the " * 10 + "xyzzy " * 10)],
+            min_words=5, min_stopwords=2,
+        )
+        assert out.loc[0, "n_stopwords"] == 1
+        assert out.loc[0, "stopword_ok"] == 0
+
+
+CASES = [
+    # (raw, canonical)
+    ("HTTP://WWW.Example.COM/Path/Page", "http://www.example.com/Path/Page"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    ("http://example.com/a#frag", "http://example.com/a"),
+    ("http://example.com/a?utm_source=x&b=2&a=1",
+     "http://example.com/a?a=1&b=2"),
+    ("http://example.com/a?utm_source=x&fbclid=y",
+     "http://example.com/a"),
+    ("http://example.com/a/", "http://example.com/a"),
+    ("http://example.com/", "http://example.com/"),
+    ("http://example.com/a/?b=1", "http://example.com/a?b=1"),
+    ("http://example.com/A?z=1&y=2&ref=tw#x",
+     "http://example.com/A?y=2&z=1"),
+    # case-sensitive path/query, case-insensitive authority
+    ("HTTPS://HOST.COM:443/CaSe?Q=V", "https://host.com/CaSe?Q=V"),
+]
+
+
+class TestCanonicalUrl:
+    def test_case_matrix(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(CASES, columns=["url", "want"])
+        )
+        got = df.withColumn("got", canonical_url(F.col("url"))).toPandas()
+        for _, r in got.iterrows():
+            assert r["got"] == r["want"], r["url"]
+
+    def test_null_and_relative(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"url": [None, "not a url"]})
+        )
+        out = canonicalize(df).toPandas()
+        assert out.canonical_url.tolist() == [None, "not a url"]
+
+
+class TestDedupCaptures:
+    def test_latest_capture_wins(self, spark):
+        t = datetime.datetime(2024, 1, 1)
+        rows = [
+            ("http://E.com/a?utm_source=x", t),
+            ("http://e.com/a", t + datetime.timedelta(days=1)),
+            ("http://e.com/a#f", t + datetime.timedelta(days=2)),
+            ("http://e.com/b", t),
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+        out = (
+            dedup_captures(df)
+            .toPandas()
+            .set_index("canonical_url")
+            .sort_index()
+        )
+        assert out.loc["http://e.com/a", "n_captures"] == 3
+        assert out.loc["http://e.com/a", "url"] == "http://e.com/a#f"
+        assert out.loc["http://e.com/b", "n_captures"] == 1
+
+    def test_tie_breaks_on_raw_url(self, spark):
+        t = datetime.datetime(2024, 1, 1)
+        rows = [("http://e.com/a", t), ("http://e.com/a/", t)]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+        out = dedup_captures(df).toPandas()
+        assert len(out) == 1
+        # max_by struct(ts, url): '/'-suffixed string sorts after
+        assert out.loc[0, "url"] == "http://e.com/a/"

@@ -42,6 +42,13 @@ class DedupConfig:
     min_span_bytes: int = 256          # flagged pair confirm via suffix-array
     max_span_doc_bytes: int = 2_000_000  # safety cap for the suffix-array stage
 
+    # --- crawl-native capture tier (functions/urls.py): canonicalize
+    # URLs and keep only the latest capture per canonical URL before
+    # extraction. Off by default: it changes which raw rows exist, so
+    # corpora that are already one-capture-per-url (the driver testdata,
+    # the golden fixtures) run byte-identically with the flag off.
+    capture_dedup: bool = False
+
     # --- quarantine (reference near-empty detection,
     # /root/reference/src/sift_kg/ingest/kreuzberg_extractor.py:44-45) ---
     min_text_chars: int = 50

@@ -97,3 +97,27 @@ def dedup_captures(
         F.max(ts_col).alias(ts_col),
         F.count(F.lit(1)).alias("n_captures"),
     )
+
+
+def latest_captures(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Full-row capture dedup: the latest capture's entire row survives
+    per canonical URL (same total order as :func:`dedup_captures`).
+
+    Schema-preserving (same columns as the input), so it drops into a
+    pipeline ahead of extraction — the expensive pandas-UDF walk then
+    never sees superseded re-crawls. One groupBy on the canonical URL
+    with a single ``max_by`` over the packed row struct: map-side
+    partial aggregation keeps the shuffle at one row per (canonical URL
+    x map partition)."""
+    cols = list(pages.columns)
+    c = canonicalize(pages, url_col)
+    pick = F.struct(F.col(ts_col), F.col(url_col))
+    return (
+        c.groupBy("canonical_url")
+        .agg(F.max_by(F.struct(*cols), pick).alias("_r"))
+        .select("_r.*")
+    )

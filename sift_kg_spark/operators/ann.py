@@ -345,3 +345,94 @@ def ann_bucket_histogram(
         .agg(F.count("*").alias("n_buckets"), F.sum("count").alias("n_vids"))
         .orderBy("log2_size")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_centroids: int = 64,
+    n_probe: int = 2,
+    lloyd_iters: int = 0,
+    cell_cap: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): IVF-cell-scoped
+    cosine near-dup pairs -> connected components -> keep the min-id
+    representative per semantic cluster.
+
+    Output: one row per input id — (id_col, component, is_kept) with
+    ``is_kept`` 1 exactly for each component's minimum id (the SemDeDup
+    "keep one per semantic group" rule, made deterministic).
+
+    Scale shape (10^9+ vectors): the pair stage never goes all-pairs —
+    one side sits in its primary cell, the other probes its ``n_probe``
+    nearest cells (recovering near-boundary pairs the paper's
+    single-cluster scoping misses), so candidate volume is
+    sum(cell_size^2) bounded by the ``cell_cap`` hash-threshold guard,
+    not N^2. The cosine filter is JVM higher-order functions; the
+    component step is the same hash-partitioned min-label propagation
+    the text path uses (operators/components).
+    """
+    from sift_kg_spark.operators.components import connected_components
+
+    cents = train_ivf_centroids(
+        embeddings, id_col, vec_col, n_centroids, lloyd_iters
+    )
+    sig = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    primary = make_ivf_cell_udf(cents, n_probe=1)
+    anchors = sig.select(F.col("vid").alias("vid_a"), primary("vec")[0].alias("cell"))
+
+    sizes = anchors.groupBy("cell").agg(F.count("*").alias("_cn"))
+    hot = sizes.filter(F.col("_cn") > cell_cap)
+    hash_threshold = F.lit(float(-(2**63))) + (
+        F.lit(float(cell_cap)) / F.col("_cn")
+    ) * F.lit(float(2**64))
+    anchors = (
+        anchors.join(F.broadcast(hot), "cell", "left")
+        .filter(
+            F.col("_cn").isNull() | (F.xxhash64("vid_a") <= hash_threshold)
+        )
+        .select("vid_a", "cell")
+    )
+
+    probes = make_ivf_cell_udf(cents, n_probe=n_probe)
+    probed = sig.select(
+        F.col("vid").alias("vid_b"), F.explode(probes("vec")).alias("cell")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    na = F.expr("sqrt(aggregate(va, cast(0.0 as double), (acc, v) -> acc + v * v))")
+    nb = F.expr("sqrt(aggregate(vb, cast(0.0 as double), (acc, v) -> acc + v * v))")
+    pairs = (
+        anchors.join(probed, "cell")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .select("vid_a", "vid_b")
+        .distinct()
+        .join(sig.select(F.col("vid").alias("vid_a"), F.col("vec").alias("va")), "vid_a")
+        .join(sig.select(F.col("vid").alias("vid_b"), F.col("vec").alias("vb")), "vid_b")
+        .filter((dot / (na * nb)) >= F.lit(threshold))
+        .select(
+            F.lpad(F.col("vid_a").cast("string"), 20, "0").alias("url_a"),
+            F.lpad(F.col("vid_b").cast("string"), 20, "0").alias("url_b"),
+        )
+    )
+    cc = connected_components(pairs).select(
+        F.col("url").alias("_node"), F.col("cluster_id").alias("_comp")
+    )
+    node = F.lpad(F.col(id_col).cast("string"), 20, "0")
+    return (
+        embeddings.select(F.col(id_col), node.alias("_node"))
+        .join(cc, "_node", "left")
+        .select(
+            id_col,
+            F.coalesce("_comp", "_node").alias("component"),
+            (F.coalesce("_comp", "_node") == F.col("_node")).cast("int").alias(
+                "is_kept"
+            ),
+        )
+    )

@@ -114,6 +114,15 @@ def prepare_stage(pages: DataFrame, cfg: DedupConfig, n_partitions: int) -> Data
     downstream stage reads text_norm/n_chars only), so the materialized
     stage is a third the size of the raw input.
     """
+    if cfg.capture_dedup and "warc_ts" in pages.columns:
+        # Crawl-native tier: collapse re-crawls of the same canonical
+        # URL to the latest capture BEFORE the extraction UDF chain, so
+        # superseded captures never pay for extraction or hashing. Runs
+        # inside the 'prepared' stage build, so snapshots/resume
+        # fingerprint it via the config context.
+        from sift_kg_spark.functions.urls import latest_captures
+
+        pages = latest_captures(pages)
     docs = prepare_docs(pages.repartition(n_partitions), cfg)
     is_bad = (
         F.col("text").isNull()

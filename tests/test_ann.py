@@ -175,3 +175,85 @@ class TestAnnIvf:
         key = ["query_id", "rnk"]
         assert capped.sort_values(key).neighbor_id.tolist() == \
             again.sort_values(key).neighbor_id.tolist()
+
+
+class TestSemanticDedup:
+    def test_clustered_corpus_pruned_to_representatives(self, spark):
+        """Tight clusters (noise 0.03 -> within-pair cosine ~0.97, ~0
+        across) must collapse to one kept representative per cluster —
+        exactly the min vec_id — with every member assigned that
+        representative's component. (The shared fixture's 0.12 noise
+        gives within-pair cosine ~0.68 — too loose for a 0.8-threshold
+        dedup test.)"""
+        from sift_kg_spark.operators.ann import semantic_dedup
+
+        rng = np.random.default_rng(7)
+        rows, vid = [], 0
+        for c in range(8):
+            center = rng.standard_normal(DIM)
+            center /= np.linalg.norm(center)
+            for _ in range(10):
+                v = center + 0.03 * rng.standard_normal(DIM)
+                rows.append(
+                    {"vec_id": vid, "cluster": c,
+                     "embedding": (v / np.linalg.norm(v)).astype(np.float32).tolist()}
+                )
+                vid += 1
+        pdf = pd.DataFrame(rows)
+        df = spark.createDataFrame(pdf)
+        out = semantic_dedup(
+            df, "vec_id", "embedding",
+            threshold=0.8, n_centroids=16, n_probe=4,
+        ).toPandas()
+        assert len(out) == len(pdf)
+        merged = out.merge(pdf[["vec_id", "cluster"]], on="vec_id")
+        by_cluster = merged.groupby("cluster")
+        # one component + one kept representative per planted cluster
+        assert (by_cluster.component.nunique() == 1).all()
+        assert (by_cluster.is_kept.sum() == 1).all()
+        for _, g in by_cluster:
+            keeper = g[g.is_kept == 1].vec_id.iloc[0]
+            assert keeper == g.vec_id.min()
+
+    def test_matches_bruteforce_components(self, spark):
+        """With full probing the IVF-scoped pair graph must produce the
+        same components as brute-force thresholding."""
+        from sift_kg_spark.operators.ann import semantic_dedup
+
+        pdf = _clustered_vectors(n_clusters=5, per_cluster=6, seed=11)
+        df = spark.createDataFrame(pdf)
+        out = (
+            semantic_dedup(
+                df, "vec_id", "embedding",
+                threshold=0.8, n_centroids=8, n_probe=8,
+            )
+            .toPandas()
+            .sort_values("vec_id")
+        )
+        # brute force in numpy: union-find over >= threshold pairs
+        mat = np.asarray(pdf.embedding.tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1)[:, None]
+        sims = mat @ mat.T
+        parent = list(range(len(pdf)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(len(pdf)):
+            for j in range(i + 1, len(pdf)):
+                if sims[i, j] >= 0.8:
+                    parent[find(i)] = find(j)
+        want_rep = {i: min(k for k in range(len(pdf)) if find(k) == find(i))
+                    for i in range(len(pdf))}
+        got_kept = {r.vec_id for r in out.itertuples() if r.is_kept == 1}
+        assert got_kept == set(want_rep.values())
+        # component labels group identically
+        got_comp = dict(zip(out.vec_id, out.component))
+        for i in range(len(pdf)):
+            for j in range(len(pdf)):
+                same_want = want_rep[i] == want_rep[j]
+                same_got = got_comp[i] == got_comp[j]
+                assert same_want == same_got, (i, j)

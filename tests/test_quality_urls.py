@@ -132,3 +132,64 @@ class TestDedupCaptures:
         assert len(out) == 1
         # max_by struct(ts, url): '/'-suffixed string sorts after
         assert out.loc[0, "url"] == "http://e.com/a/"
+
+    def test_latest_captures_schema_preserving(self, spark):
+        from sift_kg_spark.functions.urls import latest_captures
+
+        t = datetime.datetime(2024, 1, 1)
+        rows = [
+            ("http://e.com/a?utm_source=x", t, "old text"),
+            ("http://e.com/a", t + datetime.timedelta(days=1), "new text"),
+            ("http://e.com/b", t, "other"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        )
+        out = latest_captures(df).toPandas().sort_values("url")
+        assert list(out.columns) == ["url", "warc_ts", "text"]
+        assert out.text.tolist() == ["new text", "other"]
+
+
+class TestPipelineCaptureTier:
+    def test_capture_dedup_flag(self, spark):
+        """With capture_dedup=True, re-crawls of the same canonical URL
+        collapse to the latest capture before extraction; with the flag
+        off (default) every capture flows through unchanged."""
+        from sift_kg_spark.config import DedupConfig
+        from sift_kg_spark.pipeline import run_dedup
+
+        t = datetime.datetime(2024, 1, 1)
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = []
+        for i in range(6):
+            # two captures of the same page: tracking-param spelling at
+            # day 0, clean spelling (different text) at day 1
+            rows.append(
+                (f"http://s.com/p/{i}?utm_source=x", t, f"{base} old{i}")
+            )
+            rows.append(
+                (
+                    f"http://s.com/p/{i}",
+                    t + datetime.timedelta(days=1),
+                    f"{base} new{i}",
+                )
+            )
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        ).select(
+            "url",
+            "warc_ts",
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            F.lit("en").alias("lang"),
+        )
+
+        off = run_dedup(spark, pages, DedupConfig(min_text_chars=10))
+        on = run_dedup(
+            spark, pages, DedupConfig(min_text_chars=10, capture_dedup=True)
+        )
+        assert off.assignments.count() == 12
+        kept = on.assignments.toPandas()
+        assert len(kept) == 6
+        # every survivor is the clean day-1 spelling
+        assert all("?" not in u for u in kept.url)

@@ -193,3 +193,81 @@ class TestPipelineCaptureTier:
         assert len(kept) == 6
         # every survivor is the clean day-1 spelling
         assert all("?" not in u for u in kept.url)
+
+
+class TestCanonicalUrlFuzz:
+    def test_matches_independent_python_impl(self, spark):
+        """Seeded fuzz: 400 structurally-varied URLs (case mixes, ports,
+        empty/duplicate/tracking-only queries, '&&' runs, fragments with
+        '?', trailing slashes) canonicalized by the Spark expression
+        must equal an independent Python implementation of the same
+         5-rule spec (string surgery, no regex engine shared with the
+        implementation under test)."""
+        import random
+        import re as _re
+
+        def py_canonical(u):
+            # 1. fragment
+            u = u.split("#", 1)[0]
+            # 2. lowercase scheme://authority
+            m = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", u)
+            if m:
+                u = u[: m.end()].lower() + u[m.end():]
+            # 3. default ports
+            for scheme, port in (("http", ":80"), ("https", ":443")):
+                pref = scheme + "://"
+                if u.startswith(pref):
+                    rest = u[len(pref):]
+                    cut = len(rest)
+                    for ch in "/?:":
+                        p = rest.find(ch)
+                        if p != -1:
+                            cut = min(cut, p)
+                    host, after = rest[:cut], rest[cut:]
+                    if after.startswith(port) and (
+                        len(after) == len(port)
+                        or after[len(port)] in "/?"
+                    ):
+                        u = pref + host + after[len(port):]
+            # 4. query params
+            if "?" in u:
+                base, qs = u.split("?", 1)
+                keep = sorted(
+                    p for p in qs.split("&")
+                    if p != "" and not _re.match(
+                        r"^(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref)=", p)
+                )
+                u = base + ("?" + "&".join(keep) if keep else "")
+            # 5. trailing slash on non-root path
+            if "?" in u:
+                base, qs = u.split("?", 1)
+                tail = "?" + qs
+            else:
+                base, tail = u, ""
+            m = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", base)
+            if m and len(base) > m.end() + 1 and base.endswith("/"):
+                base = base[:-1]
+            return base + tail
+
+        rng = random.Random(99)
+        schemes = ["http://", "HTTP://", "https://", "HTTPS://", "ftp://"]
+        hosts = ["e.com", "WWW.E.COM", "Sub.Host.org", "h"]
+        ports = ["", ":80", ":443", ":8080"]
+        paths = ["", "/", "/a", "/A/b", "/a/", "/a/b/", "/x%20y"]
+        queries = ["", "?", "?a=1", "?b=2&a=1", "?utm_source=x",
+                   "?utm_source=x&a=1", "?a=1&&b=2", "?ref=t&gclid=1",
+                   "?A=1&a=1", "?a=1&a=1"]
+        frags = ["", "#f", "#a?b", "#"]
+        urls = []
+        for _ in range(400):
+            urls.append(
+                rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
+                + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+            )
+        df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+        got = (
+            df.withColumn("c", canonical_url(F.col("url")))
+            .toPandas()
+        )
+        for _, r in got.iterrows():
+            assert r["c"] == py_canonical(r["url"]), r["url"]

@@ -258,6 +258,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_canonical_dedup"] = url_canonical_dedup
 
+    def url_latest_capture(spark, sf):
+        # The capture-pick half of the crawl tier (functions/urls.py
+        # dedup_captures): re-crawl streams synthesized from events
+        # (user_id -> site, event_id -> page + spelling variant, ts ->
+        # capture time); keep the latest capture per canonical URL via
+        # one max_by groupBy. Oracle re-derives with a SQL window.
+        from sift_kg_spark.functions.urls import dedup_captures
+
+        e = _t(spark, sf, "events")
+        i = F.col("event_id")
+        raw = F.concat(
+            F.lit("http://u"),
+            F.col("user_id").cast("string"),
+            F.lit(".com/p/"),
+            (i % 5).cast("string"),
+            F.when(i % 3 == 0, "?utm_source=crawl").otherwise(""),
+            F.when(i % 2 == 0, "#top").otherwise(""),
+        )
+        pages = e.select(raw.alias("url"), F.col("ts").alias("warc_ts"))
+        return dedup_captures(pages).select(
+            "canonical_url",
+            F.col("url").alias("winning_url"),
+            F.col("warc_ts").alias("latest_ts"),
+            "n_captures",
+        )
+
+    q["url_latest_capture"] = url_latest_capture
+
     def lang_id_stopword_votes(spark, sf):
         d = _t(spark, sf, "documents")
         padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
@@ -1378,6 +1406,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT canonical_url, count(*) AS n_captures
         FROM canon GROUP BY 1
+    """
+
+    o["url_latest_capture"] = """
+        WITH raw AS (
+            SELECT 'http://u' || CAST(user_id AS VARCHAR) || '.com/p/'
+                   || CAST(event_id % 5 AS VARCHAR)
+                   || (CASE WHEN event_id % 3 = 0 THEN '?utm_source=crawl'
+                            ELSE '' END)
+                   || (CASE WHEN event_id % 2 = 0 THEN '#top' ELSE '' END)
+                   AS url,
+                   ts AS warc_ts
+            FROM events
+        ), canon AS (
+            -- all-lowercase synthetic urls: canonicalization reduces to
+            -- fragment strip + query rewrite (utm-only queries vanish)
+            SELECT url, warc_ts,
+                   regexp_replace(regexp_replace(url, '#.*$', ''),
+                                  '\\?utm_source=crawl$', '')
+                       AS canonical_url
+            FROM raw
+        ), ranked AS (
+            SELECT canonical_url, url, warc_ts,
+                   row_number() OVER (
+                       PARTITION BY canonical_url
+                       ORDER BY warc_ts DESC, url DESC) AS rn,
+                   count(*) OVER (PARTITION BY canonical_url)
+                       AS n_captures
+            FROM canon
+        )
+        SELECT canonical_url, url AS winning_url, warc_ts AS latest_ts,
+               n_captures
+        FROM ranked WHERE rn = 1
     """
 
     o["lang_id_stopword_votes"] = """

@@ -49,6 +49,15 @@ class DedupConfig:
     # the golden fixtures) run byte-identically with the flag off.
     capture_dedup: bool = False
 
+    # --- Gopher rule-based quality gate (functions/quality.py): when on,
+    # docs failing the word-count / mean-word-length / symbol-ratio /
+    # stopword rules quarantine with reason='quality_reject' instead of
+    # entering the hash stages. Off by default (the reference gates only
+    # on near-empty text). min_words is the rule most corpora need to
+    # tune; the remaining thresholds use the published Gopher defaults.
+    quality_gate: bool = False
+    quality_min_words: int = 50
+
     # --- quarantine (reference near-empty detection,
     # /root/reference/src/sift_kg/ingest/kreuzberg_extractor.py:44-45) ---
     min_text_chars: int = 50

@@ -69,6 +69,31 @@ def quality_signals(
     }
 
 
+def gopher_keep(
+    text: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopwords: int = 2,
+    stopwords: tuple = STOPWORDS,
+) -> Column:
+    """Boolean conjunction of the Gopher rules over one text column —
+    the predicate form of :func:`gopher_flags`, for use as a pipeline
+    quarantine gate (config.quality_gate)."""
+    s = quality_signals(text, stopwords=stopwords)
+    return (
+        (s["n_words"] >= min_words)
+        & (s["n_words"] <= max_words)
+        & (s["mean_word_len"] >= min_mean_word_len)
+        & (s["mean_word_len"] <= max_mean_word_len)
+        & (s["symbol_ratio"] <= max_symbol_ratio)
+        & (s["n_stopwords"] >= min_stopwords)
+    )
+
+
 def gopher_flags(
     docs: DataFrame,
     id_col: str = "doc_id",

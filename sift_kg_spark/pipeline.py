@@ -133,14 +133,26 @@ def prepare_stage(pages: DataFrame, cfg: DedupConfig, n_partitions: int) -> Data
         # unrelated pages.
         | (F.length("text_norm") < F.lit(max(1, cfg.min_text_chars // 2)))
     )
-    reason = F.when(
-        is_bad,
-        F.when(F.col("text").isNull(), "extraction_failed")
-        .when(
-            F.length(F.trim(F.col("text"))) < cfg.min_text_chars, "near_empty"
-        )
-        .otherwise("normalized_empty"),
+    reason_chain = F.when(
+        F.col("text").isNull(), "extraction_failed"
+    ).when(
+        F.length(F.trim(F.col("text"))) < cfg.min_text_chars, "near_empty"
+    ).when(
+        F.length("text_norm") < F.lit(max(1, cfg.min_text_chars // 2)),
+        "normalized_empty",
     )
+    if cfg.quality_gate:
+        # Gopher rule gate (functions/quality.py) — same quarantine
+        # surface as near-empty detection: rejected docs carry a reason
+        # and never reach the hash stages, but stay in the lineage.
+        from sift_kg_spark.functions.quality import gopher_keep
+
+        quality_fail = ~gopher_keep(
+            F.col("text"), min_words=cfg.quality_min_words
+        )
+        is_bad = is_bad | quality_fail
+        reason_chain = reason_chain.when(quality_fail, "quality_reject")
+    reason = F.when(is_bad, reason_chain)
     prepared = docs.select(
         "url",
         # compact 64-bit doc id: the candidate exchange and verify joins

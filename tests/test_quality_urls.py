@@ -271,3 +271,42 @@ class TestCanonicalUrlFuzz:
         )
         for _, r in got.iterrows():
             assert r["c"] == py_canonical(r["url"]), r["url"]
+
+
+class TestPipelineQualityGate:
+    def test_quality_gate_quarantines(self, spark):
+        """quality_gate=True quarantines Gopher-rule failures with
+        reason='quality_reject'; the default leaves them in."""
+        from sift_kg_spark.config import DedupConfig
+        from sift_kg_spark.pipeline import run_dedup
+
+        good = ("the quick brown fox jumps over a lazy dog near the "
+                "riverbank while tall green trees sway in warm wind " * 2)
+        short = "the tiny a page of text here now"   # > min_text_chars,
+                                                      # < quality_min_words
+        rows = [(f"http://q.com/{i}", good) for i in range(4)]
+        rows.append(("http://q.com/short", short))
+        pages = spark.createDataFrame(
+            rows, "url string, text string"
+        ).select(
+            "url",
+            F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            F.lit("en").alias("lang"),
+        )
+        off = run_dedup(spark, pages, DedupConfig(min_text_chars=10))
+        assert off.assignments.count() == 5
+        assert off.quarantine.count() == 0
+
+        on = run_dedup(
+            spark,
+            pages,
+            DedupConfig(
+                min_text_chars=10, quality_gate=True, quality_min_words=20
+            ),
+        )
+        assert on.assignments.count() == 4
+        quar = on.quarantine.toPandas()
+        assert quar.reason.tolist() == ["quality_reject"]
+        assert quar.url.tolist() == ["http://q.com/short"]

@@ -107,12 +107,18 @@ def prepare_stage(pages: DataFrame, cfg: DedupConfig, n_partitions: int) -> Data
     skipped, graph/prededup.py:92-93); quarantined rows carry a non-null
     ``reason`` and never merge.
 
-    The input is repartitioned first: a raw crawl dump often arrives as a
-    few large files, and the extraction UDF chain is narrow — without the
-    explicit exchange it would run at the file parallelism, not the
-    cluster's. html/text are dropped once text_norm exists (every
-    downstream stage reads text_norm/n_chars only), so the materialized
-    stage is a third the size of the raw input.
+    The input is repartitioned ONLY when the scan's own parallelism is
+    below the cluster's: a raw crawl dump that arrives as a few large
+    unsplittable files would otherwise run the narrow extraction UDF
+    chain at file parallelism. When the scan already yields at least
+    defaultParallelism splits (the normal case — parquet splits by row
+    group under spark.sql.files.maxPartitionBytes), the exchange is
+    skipped: it would ship the ENTIRE raw corpus (html bytes included)
+    through the shuffle just to rebalance work the scan already
+    byte-balanced — at crawl scale that shuffle is the whole input.
+    html/text are dropped once text_norm exists (every downstream stage
+    reads text_norm/n_chars only), so the materialized stage is a third
+    the size of the raw input.
     """
     if cfg.capture_dedup and "warc_ts" in pages.columns:
         # Crawl-native tier: collapse re-crawls of the same canonical
@@ -123,7 +129,13 @@ def prepare_stage(pages: DataFrame, cfg: DedupConfig, n_partitions: int) -> Data
         from sift_kg_spark.functions.urls import latest_captures
 
         pages = latest_captures(pages)
-    docs = prepare_docs(pages.repartition(n_partitions), cfg)
+    src_parallelism = pages.rdd.getNumPartitions()
+    floor = min(
+        pages.sparkSession.sparkContext.defaultParallelism, n_partitions
+    )
+    if src_parallelism < floor:
+        pages = pages.repartition(n_partitions)
+    docs = prepare_docs(pages, cfg)
     is_bad = (
         F.col("text").isNull()
         | (F.length(F.trim(F.col("text"))) < cfg.min_text_chars)

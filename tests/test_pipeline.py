@@ -140,3 +140,41 @@ class TestUidCollisionRescue:
         # deterministic: same input -> same rekeyed values
         out2 = {r.url: r.doc_uid for r in rekey_uid_collisions(df).collect()}
         assert out == out2
+
+
+class TestPreparedScanParallelism:
+    """prepare_stage must NOT reshuffle the raw corpus when the scan
+    already supplies cluster parallelism (at crawl scale that exchange
+    ships the entire input, html included), and MUST when the input
+    arrives as too few splits (narrow UDF chain would run at file
+    parallelism)."""
+
+    @staticmethod
+    def _pages(spark, n=40):
+        from sift_kg_spark.config import DedupConfig
+
+        rows = [
+            (f"https://ex.com/{i}", "en", "word " * 40 + str(i), None)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "url string, lang string, text string, html binary"
+        )
+
+    def test_wide_scan_keeps_source_partitioning(self, spark):
+        from sift_kg_spark.config import DedupConfig
+        from sift_kg_spark.pipeline import prepare_stage
+
+        pages = self._pages(spark).repartition(12)  # >= defaultParallelism
+        out = prepare_stage(pages, DedupConfig(), n_partitions=8)
+        assert out.rdd.getNumPartitions() == 12  # no second exchange
+        assert out.count() == 40
+
+    def test_narrow_input_is_repartitioned(self, spark):
+        from sift_kg_spark.config import DedupConfig
+        from sift_kg_spark.pipeline import prepare_stage
+
+        pages = self._pages(spark).coalesce(1)
+        out = prepare_stage(pages, DedupConfig(), n_partitions=8)
+        assert out.rdd.getNumPartitions() == 8
+        assert out.count() == 40

@@ -205,3 +205,41 @@ class TestExtractionRobustness:
         first = extract_text_py(s)
         assert first is None or isinstance(first, str)
         assert extract_text_py(s) == first
+
+
+class TestNormalizeKeyProperties:
+    """normalize_text_py output is the exact-dup KEY; these are the
+    properties the key contract relies on, fuzzed over arbitrary
+    unicode (not just the fixture corpus)."""
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(max_size=120))
+    def test_idempotent_and_mark_free(self, s):
+        import unicodedata
+
+        from sift_kg_spark.functions.text import normalize_text_py
+
+        out = normalize_text_py(s)
+        # idempotence: re-normalizing a stored key must not change it
+        # (resume/incremental paths compare fresh keys to committed ones)
+        assert normalize_text_py(out) == out
+        # no combining marks survive (casefold can reintroduce Mn only
+        # via codepoints NFKD already decomposes, e.g. U+0130)
+        assert not any(unicodedata.category(c) == "Mn" for c in out)
+        # whitespace is fully collapsed: single spaces, no edge spaces
+        assert "  " not in out and out == out.strip()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="abcdefg ", max_size=40))
+    def test_accent_variants_fold_together(self, s):
+        """Composed, decomposed and uppercase accent spellings of the
+        same word must produce the same key."""
+        from sift_kg_spark.functions.text import normalize_text_py
+
+        composed = s.replace("e", "é")          # é precomposed
+        decomposed = s.replace("e", "é")        # e + combining acute
+        assert (
+            normalize_text_py(composed)
+            == normalize_text_py(decomposed)
+            == normalize_text_py(s.upper().replace("E", "É"))
+        )

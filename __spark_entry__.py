@@ -361,6 +361,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_repetition_stats"] = doc_repetition_stats
 
+    # ---- winnowing fingerprints (rolling-hash doc fingerprint family) ----
+    # operators/winnow: MOSS-style winnowing (min k-gram md5 per w-window),
+    # corpus-level shared-span index; pairs reuse the LSH one-exchange
+    # hot-bucket star shape. Fully SQL-expressible -> directly oracled.
+
+    def winnow_fingerprint_profile(spark, sf):
+        from sift_kg_spark.operators.winnow import winnow_fingerprints
+
+        fps = winnow_fingerprints(
+            _t(spark, sf, "documents"), "doc_id", "text", k=3, w=4
+        )
+        return fps.groupBy("doc_id").agg(
+            F.count("*").alias("n_fps"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+
+    q["winnow_fingerprint_profile"] = winnow_fingerprint_profile
+
+    def winnow_dup_pairs(spark, sf):
+        from sift_kg_spark.operators.winnow import (
+            fingerprint_pairs,
+            winnow_fingerprints,
+        )
+
+        d = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+        # planted near-dups (the %17 recipe): an 80%-token-prefix copy of
+        # every eligible doc, so the pair detector has real rows to find
+        # and the guarantee (shared run >= w+k-1 tokens) is exercised on
+        # partial overlap, not just identical copies.
+        toks = F.split(F.trim("text"), r"\s+")
+        prefix = F.array_join(
+            F.slice(toks, 1, F.floor(F.size(toks) * 0.8).cast("int")), " "
+        )
+        copies = d.filter(
+            (F.col("doc_id") % 17 == 3) & (F.col("n_chars") >= 200)
+        ).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            prefix.alias("text"),
+            "n_chars",
+        )
+        fps = winnow_fingerprints(
+            d.unionByName(copies), "doc_id", "text", k=3, w=4
+        )
+        return fingerprint_pairs(fps, "doc_id", min_shared=3, hot_cap=64)
+
+    q["winnow_dup_pairs"] = winnow_dup_pairs
+
     # ---- n-gram Jaccard near-dup (J4 verify analog, integer-exact) -------
 
     def ngram_jaccard_pairs(spark, sf):
@@ -1516,6 +1564,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.doc_id, c.n_chunks, c.dup_chunk_frac,
                coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
         FROM cstats c LEFT JOIN bstats b ON c.doc_id = b.doc_id
+    """
+
+    # winnowing fingerprints (operators/winnow, k=3 token grams, w=4
+    # windows, full windows only; md5-hex-16 gram hash, lexicographic min)
+    def _winnow_fps_cte(source: str) -> str:
+        return f"""
+        toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM {source}
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   substr(md5(array_to_string(t[i : i+2], ' ')), 1, 16)
+                       AS gram_hash,
+                   len(t) - 3 + 1 AS n_grams
+            FROM toks,
+                 LATERAL UNNEST(range(1, CAST(len(t) - 3 + 2 AS BIGINT))) AS u(i)
+            WHERE len(t) >= 3
+        ),
+        mins AS (
+            SELECT doc_id, pos, n_grams,
+                   min(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM grams
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= n_grams - 4 + 1
+        )
+        """
+
+    o["winnow_fingerprint_profile"] = f"""
+        WITH {_winnow_fps_cte("documents")}
+        SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp
+        FROM fps GROUP BY doc_id
+    """
+
+    o["winnow_dup_pairs"] = f"""
+        WITH planted AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id,
+                   array_to_string(
+                       (regexp_split_to_array(trim(text), '\\s+'))
+                           [1 : CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) * 0.8) AS INT)],
+                       ' ') AS text
+            FROM documents WHERE doc_id % 17 = 3 AND n_chars >= 200
+        ),
+        {_winnow_fps_cte("planted")},
+        sized AS (
+            SELECT doc_id, fp,
+                   count(*) OVER (PARTITION BY fp) AS n_docs,
+                   min(doc_id) OVER (PARTITION BY fp) AS rep
+            FROM fps
+        ),
+        normal AS (SELECT * FROM sized WHERE n_docs > 1 AND n_docs <= 64),
+        hot AS (SELECT * FROM sized WHERE n_docs > 64),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM normal a JOIN normal b USING (fp) WHERE a.doc_id < b.doc_id
+            UNION ALL
+            SELECT least(doc_id, rep) AS doc_a, greatest(doc_id, rep) AS doc_b
+            FROM hot WHERE doc_id <> rep
+        )
+        SELECT doc_a, doc_b, count(*) AS n_shared FROM pairs
+        GROUP BY 1, 2 HAVING count(*) >= 3
     """
 
     o["ngram_jaccard_pairs"] = """

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_full_pipeline",
     "dedup_lsh_candidates",
     "ngram_jaccard_pairs",
+    "winnow_dup_pairs",
     "embedding_cosine_topk",
     "ann_lsh_topk_embeddings",
     "ann_ivf_topk_embeddings",

@@ -71,9 +71,9 @@ def candidate_pairs(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     Plan shape: bucket size/rep come from a WINDOW over the key exchange,
     not a separate aggregation joined back — so the key table is shuffled
-    by key exactly ONCE, that exchange is reused by both self-join sides
-    and the hot branch (all already hash-partitioned on the join key; the
-    pairing join adds no exchange), and no collision table is ever
+    by key exactly ONCE, that exchange is reused by the second side of
+    the single pairing join (both sides already hash-partitioned on the
+    join key; the join adds no exchange), and no collision table is ever
     collected driver-side for a broadcast build. The previous
     agg + broadcast-join shape shuffled the key table three times and its
     driver-side broadcast build was the largest level-invariant cost in
@@ -103,23 +103,26 @@ def candidate_pairs(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
         .filter(F.col("bucket_size") > 1)
     )
 
-    normal = keyed.filter(F.col("bucket_size") <= cfg.hot_band_cap)
-    hot = keyed.filter(F.col("bucket_size") > cfg.hot_band_cap)
-
-    left = normal.select(*key_cols, F.col("doc_uid").alias("uid_a"))
-    right = normal.select(*key_cols, F.col("doc_uid").alias("uid_b"))
-    all_pairs = left.join(right, on=key_cols, how="inner").filter(
-        F.col("uid_a") < F.col("uid_b")
-    )
-
-    star_pairs = hot.filter(F.col("doc_uid") != F.col("bucket_rep")).select(
-        *key_cols,
-        F.least("doc_uid", "bucket_rep").alias("uid_a"),
-        F.greatest("doc_uid", "bucket_rep").alias("uid_b"),
-    )
-
-    pairs = all_pairs.select("uid_a", "uid_b", "key").unionByName(
-        star_pairs.select("uid_a", "uid_b", "key")
+    # ONE join, no union-of-branches: because bucket_rep is the bucket's
+    # MIN uid, a hot bucket's star pairs (rep, member) always satisfy
+    # rep < member — so "all a<b pairs inside normal buckets, plus star
+    # pairs inside hot buckets" is a single equi-join of [all members]
+    # against [normal members + hot reps] under uid_a < uid_b. The union
+    # form made the hot branch a third consumer of the key exchange,
+    # which AQE's runtime stage-reuse cannot deduplicate once sibling
+    # stages materialize in the same round (it re-ran the sizing window
+    # into a duplicate exchange); with one consumer pair the exchange is
+    # computed once and ReusedExchange covers the other side (PLANS.md
+    # §11 receipts re-verified on the final adaptive plan).
+    a_side = keyed.filter(
+        (F.col("bucket_size") <= cfg.hot_band_cap)
+        | (F.col("doc_uid") == F.col("bucket_rep"))
+    ).select(*key_cols, F.col("doc_uid").alias("uid_a"))
+    b_side = keyed.select(*key_cols, F.col("doc_uid").alias("uid_b"))
+    pairs = (
+        a_side.join(b_side, on=key_cols, how="inner")
+        .filter(F.col("uid_a") < F.col("uid_b"))
+        .select("uid_a", "uid_b", "key")
     )
     collapsed = (
         pairs.withColumn(

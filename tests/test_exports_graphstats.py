@@ -106,6 +106,30 @@ class TestExports:
         except ValueError:
             pass
 
+    def test_guard_counts_edges_not_just_nodes(self, spark):
+        # r3 ADVICE #4: an edge-dense small-node graph (4-clique: 4 nodes,
+        # 6 merged edges) must trip the guard when max_rows sits between
+        # the node count and the edge count.
+        nodes = ["a", "b", "c", "d"]
+        assigns = spark.createDataFrame(
+            [(u, "a", "a", 4) for u in nodes],
+            "url string, cluster_id string, canonical_url string,"
+            " cluster_size int",
+        )
+        clique = spark.createDataFrame(
+            [
+                (x, y, "minhash", 0.9, 1, None, "confirmed")
+                for i, x in enumerate(nodes)
+                for y in nodes[i + 1 :]
+            ],
+            PAIR_SCHEMA,
+        )
+        try:
+            node_link_dict(assigns, clique, max_rows=5)
+            raise AssertionError("edge-count guard did not trip")
+        except ValueError as exc:
+            assert "edges" in str(exc) or "merged" in str(exc)
+
     def test_graphml_roundtrip(self, spark, tmp_path):
         import xml.etree.ElementTree as ET
 

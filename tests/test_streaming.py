@@ -161,3 +161,61 @@ def test_stream_assignments_write_is_delta_sized(spark, cfg, tmp_path_factory):
         )
         assert n_delta == batch_assigned + n_touched_members
         assert n_delta < total, "delta must not be the combined rewrite"
+
+
+def test_stream_resumes_legacy_state_without_keys(
+    spark, cfg, tmp_path_factory
+):
+    """r3 ADVICE #2: a state dir written before the ``keys`` stage existed
+    (no keys.parquet in any generation) must still resume — _base_tables
+    omits the table and the incremental run re-derives base keys from
+    features — and the post-resume assignments must equal a full run."""
+    import shutil
+
+    from sift_kg_spark.fixtures import generate_corpus
+    from sift_kg_spark.streaming import process_batch
+
+    pages_pdf = generate_corpus(120, seed=47)[0].drop(columns=["true_text"])
+    wd = tmp_path_factory.mktemp("stream_legacy")
+    state = os.path.join(str(wd), "state")
+    os.makedirs(state, exist_ok=True)
+
+    n_batches = 3
+    for i in range(n_batches - 1):
+        process_batch(
+            spark,
+            spark.createDataFrame(pages_pdf.iloc[i::n_batches]),
+            state,
+            cfg,
+            batch_id=i,
+            compact_every=0,
+        )
+    # simulate legacy state: strip keys.parquet from every generation
+    stripped = 0
+    for g in range(n_batches - 1):
+        p = os.path.join(state, f"gen={g}", "keys.parquet")
+        if os.path.exists(p):
+            shutil.rmtree(p)
+            stripped += 1
+    assert stripped > 0, "fixture must actually remove key snapshots"
+
+    process_batch(
+        spark,
+        spark.createDataFrame(pages_pdf.iloc[n_batches - 1 :: n_batches]),
+        state,
+        cfg,
+        batch_id=n_batches - 1,
+        compact_every=0,
+    )
+
+    full = run_dedup(
+        spark,
+        spark.createDataFrame(pages_pdf),
+        cfg,
+        workdir=os.path.join(str(wd), "full"),
+    )
+    want = _amap(full.assignments)
+    got = _amap(read_assignments(spark, state))
+    assert set(got) == set(want)
+    mism = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
+    assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"

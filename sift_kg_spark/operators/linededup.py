@@ -35,25 +35,8 @@ Scale shape (10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _chunk_array(text: Column, chunk_tokens: int, delim: str) -> Column:
-    """array<string> of non-overlapping ``chunk_tokens``-token chunks of
-    ``text`` (last chunk may be short). Empty for null text."""
-    toks = F.split(text, delim)
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
-    # sequence(0, n-1) DESCENDS for n == 0 (start > stop) — guard it
-    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.array_join(
-            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), delim
-        ),
-    )
 
 
 def chunk_segments(
@@ -63,13 +46,34 @@ def chunk_segments(
     chunk_tokens: int = 4,
     delim: str = " ",
 ) -> DataFrame:
-    """(id, chunk_idx, chunk) — one row per non-overlapping token chunk,
-    ``chunk_idx`` preserving document order for re-assembly."""
-    return docs.select(
+    """(id, chunk_idx, chunk) — one row per non-overlapping token chunk
+    (last chunk may be short), ``chunk_idx`` 0-based preserving document
+    order for re-assembly. Null-text docs produce no rows.
+
+    Shape note: tokenization is materialized as a column BEFORE the
+    index explode and the chunk is sliced row-wise AFTER it — never
+    ``transform(idx, i -> slice(split(text), ...))``: inside a
+    higher-order-function lambda Spark re-evaluates the captured
+    ``split`` for every chunk (O(tokens^2 / K) per doc; same finding as
+    operators/winnow, PLANS.md §18). The token array is evaluated once
+    per doc row and projected away before any exchange."""
+    toks = F.split(F.col(text_col), delim)
+    base = docs.select(
         F.col(id_col),
-        F.posexplode(_chunk_array(F.col(text_col), chunk_tokens, delim)).alias(
-            "chunk_idx", "chunk"
-        ),
+        toks.alias("_toks"),
+        F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int").alias("_n"),
+    ).filter(F.col("_n") > 0)
+    return base.select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("chunk_idx"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.array_join(
+            F.slice("_toks", F.col("chunk_idx") * chunk_tokens + 1, chunk_tokens),
+            delim,
+        ).alias("chunk"),
     )
 
 
@@ -155,12 +159,8 @@ def repetition_stats(
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(delim), b),
     )
-    base = docs.select(
-        F.col(id_col),
-        _chunk_array(F.col(text_col), chunk_tokens, delim).alias("_chunks"),
-        bigrams.alias("_bigrams"),
-    )
-    chunk_rows = base.select(id_col, F.explode("_chunks").alias("chunk"))
+    base = docs.select(F.col(id_col), bigrams.alias("_bigrams"))
+    chunk_rows = chunk_segments(docs, id_col, text_col, chunk_tokens, delim)
     chunk_stats = chunk_rows.groupBy(id_col).agg(
         F.count("*").alias("n_chunks"),
         (

@@ -61,23 +61,35 @@ def token_kgram_hashes(
     """(id, pos, gram_hash, n_grams) — one row per overlapping k-token
     gram, ``pos`` 1-based in document order, ``gram_hash`` the 16-hex-char
     md5 prefix of the space-joined gram. Docs with fewer than ``k``
-    tokens produce no rows."""
+    tokens produce no rows.
+
+    Shape note: the tokenization is materialized as a column BEFORE the
+    position explode, and the gram is sliced row-wise AFTER it — never
+    ``transform(sequence, i -> slice(split(text), i, k))``. Inside a
+    higher-order-function lambda Spark re-evaluates the captured
+    ``split`` for EVERY gram (subexpression elimination does not hoist
+    through lambda boundaries), turning tokenization O(tokens^2) per
+    document — measured 7x slower end-to-end at sf0.1 (PLANS.md §17).
+    The Generate boundary keeps the token array evaluated once per doc
+    row, and the array is projected away before any exchange."""
     toks = F.split(F.trim(F.col(text_col)), TOKEN_DELIM)
-    n_grams = (F.size(toks) - k + 1).alias("n_grams")
-    idx = F.when(
-        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx,
-        lambda i: F.substring(
-            F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 16
-        ),
-    )
-    exploded = docs.select(
-        F.col(id_col), n_grams, F.posexplode(grams).alias("pos0", "gram_hash")
-    )
-    return exploded.select(
-        id_col, (F.col("pos0") + 1).alias("pos"), "gram_hash", "n_grams"
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        (F.size(toks) - k + 1).alias("n_grams"),
+    ).filter(F.col("n_grams") >= 1)
+    return base.select(
+        id_col,
+        "_toks",
+        "n_grams",
+        F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
+    ).select(
+        id_col,
+        "pos",
+        F.substring(
+            F.md5(F.array_join(F.slice("_toks", F.col("pos"), k), " ")), 1, 16
+        ).alias("gram_hash"),
+        "n_grams",
     )
 
 

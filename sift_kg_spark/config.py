@@ -58,6 +58,22 @@ class DedupConfig:
     quality_gate: bool = False
     quality_min_words: int = 50
 
+    # --- C4-style corpus span dedup (operators/linededup): when on,
+    # fixed-grid token chunks occurring in >= span_dedup_min_docs
+    # DISTINCT docs are removed from every doc after extraction and
+    # before normalization/hashing — the C4 "any three-sentence span
+    # occurring more than once" rule, token-chunk flavored. Off by
+    # default: it rewrites the extracted text, so the byte-identity
+    # contract (and the doc-level golden fixtures) hold with it off.
+    # Docs reduced to nothing quarantine as near_empty, mirroring C4's
+    # post-dedup length floor. Chunks are grid-aligned from the document
+    # start, so repeated spans dedup when their offsets agree modulo the
+    # chunk size (boilerplate headers/footers at fixed positions; a
+    # sentence-segmented corpus would chunk on sentences instead).
+    span_dedup: bool = False
+    span_dedup_chunk_tokens: int = 20
+    span_dedup_min_docs: int = 4
+
     # --- quarantine (reference near-empty detection,
     # /root/reference/src/sift_kg/ingest/kreuzberg_extractor.py:44-45) ---
     min_text_chars: int = 50

@@ -136,6 +136,43 @@ def prepare_stage(pages: DataFrame, cfg: DedupConfig, n_partitions: int) -> Data
     if src_parallelism < floor:
         pages = pages.repartition(n_partitions)
     docs = prepare_docs(pages, cfg)
+    if cfg.span_dedup:
+        # C4-style corpus span dedup (operators/linededup): strip token
+        # chunks shared by >= span_dedup_min_docs docs BEFORE
+        # normalization/hashing, so boilerplate never drives Jaccard.
+        # Column pruning drops prepare_docs' normalize UDF from this
+        # branch (only url/lang/text are read); the cleaned text is
+        # re-normalized below. The extracted projection is pinned once —
+        # the chunk pass and the rebuild join both read it (a real
+        # deployment snapshots this projection at the Iceberg seam; the
+        # quarantine checks below then run on the CLEANED text, so a doc
+        # that was pure boilerplate lands in near_empty quarantine —
+        # C4's post-dedup length floor).
+        from pyspark import StorageLevel
+
+        from sift_kg_spark.operators.linededup import line_dedup
+
+        extracted = docs.select("url", "lang", "text").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        cleaned = line_dedup(
+            extracted,
+            "url",
+            "text",
+            chunk_tokens=cfg.span_dedup_chunk_tokens,
+            min_docs=cfg.span_dedup_min_docs,
+        )
+        docs = (
+            extracted.select("url", "lang")
+            .join(
+                cleaned.select("url", F.col("clean_text").alias("text")),
+                "url",
+                "left",
+            )
+            .withColumn("text_norm", normalize_text_udf(F.col("text")))
+            .withColumn("n_chars", F.length("text"))
+            .select("url", "lang", "text", "text_norm", "n_chars")
+        )
     is_bad = (
         F.col("text").isNull()
         | (F.length(F.trim(F.col("text"))) < cfg.min_text_chars)

@@ -145,3 +145,55 @@ class TestRepetitionStats:
         # single-token doc: no bigrams -> 0.0 (coalesced), still present
         assert out.loc[1, "top_bigram_frac"] == 0.0
         assert out.loc[1, "n_chunks"] == 1
+
+
+def test_pipeline_span_dedup_tier(spark):
+    """cfg.span_dedup wires line_dedup into the prepare stage: a
+    boilerplate block shared by most docs must stop driving near-dup
+    decisions. OFF: all six docs collapse into one boilerplate-driven
+    mega-cluster. ON: the two docs with identical unique content become
+    an exact-dup pair, the three distinct docs stay singletons, and the
+    pure-boilerplate doc quarantines as near_empty (C4's post-dedup
+    length floor)."""
+    from pyspark.sql import functions as F
+
+    from sift_kg_spark import DedupConfig
+    from sift_kg_spark.pipeline import run_dedup
+
+    bp = " ".join(f"boiler{i:03d}" for i in range(200))   # 40 x 5-token chunks
+    uq = " ".join(f"unique{i:02d}" for i in range(20))    # shared by docs 1+2
+    vs = [" ".join(f"only{d}x{i:02d}" for i in range(20)) for d in range(3)]
+    rows = [
+        ("u1", f"{uq} {bp}"),      # unique + boilerplate
+        ("u2", f"{bp} {uq}"),      # boilerplate + unique (grid-aligned: 200 % 5 == 0)
+        ("v0", f"{bp} {vs[0]}"),
+        ("v1", f"{bp} {vs[1]}"),
+        ("v2", f"{bp} {vs[2]}"),
+        ("b6", bp),                # pure boilerplate
+    ]
+    pages = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "text"]).assign(
+            lang="en", html=None
+        )
+    ).select("url", "lang", "text", F.col("html").cast("binary"))
+
+    def amap(res):
+        return {r["url"]: r["cluster_id"] for r in res.assignments.collect()}
+
+    dirty = amap(run_dedup(spark, pages, DedupConfig()))
+    assert len(set(dirty.values())) == 1, (
+        f"boilerplate must drive a false mega-cluster when OFF: {dirty}"
+    )
+
+    cfg = DedupConfig(
+        span_dedup=True, span_dedup_chunk_tokens=5, span_dedup_min_docs=3
+    )
+    res = run_dedup(spark, pages, cfg)
+    clean = amap(res)
+    assert "b6" not in clean, "pure-boilerplate doc must quarantine"
+    q = {r["url"]: r["reason"] for r in res.quarantine.collect()}
+    assert q.get("b6") == "near_empty"
+    assert clean["u1"] == clean["u2"], "identical after cleaning -> one cluster"
+    others = [clean["v0"], clean["v1"], clean["v2"]]
+    assert len(set(others)) == 3, f"distinct docs must not merge: {clean}"
+    assert clean["u1"] not in others

@@ -29,6 +29,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="recompute every stage even if committed")
     p.add_argument("--shingle-k", type=int, default=None)
     p.add_argument("--num-perm", type=int, default=None)
+    # crawl-native tiers (all off by default; see DedupConfig docstrings)
+    p.add_argument("--capture-dedup", action="store_true",
+                   help="canonicalize URLs, keep latest capture per URL")
+    p.add_argument("--quality-gate", action="store_true",
+                   help="Gopher rule gate -> quarantine quality_reject")
+    p.add_argument("--span-dedup", action="store_true",
+                   help="C4-style corpus chunk dedup before hashing")
+    p.add_argument("--span-chunk-tokens", type=int, default=None)
+    p.add_argument("--span-min-docs", type=int, default=None)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -41,6 +50,16 @@ def main(argv: list[str] | None = None) -> int:
         overrides["shingle_k"] = args.shingle_k
     if args.num_perm is not None:
         overrides["num_perm"] = args.num_perm
+    if args.capture_dedup:
+        overrides["capture_dedup"] = True
+    if args.quality_gate:
+        overrides["quality_gate"] = True
+    if args.span_dedup:
+        overrides["span_dedup"] = True
+    if args.span_chunk_tokens is not None:
+        overrides["span_dedup_chunk_tokens"] = args.span_chunk_tokens
+    if args.span_min_docs is not None:
+        overrides["span_dedup_min_docs"] = args.span_min_docs
     cfg = DedupConfig(**overrides)
 
     # Respect the spark-submit master; only fill in defaults.

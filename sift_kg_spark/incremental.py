@@ -153,6 +153,23 @@ def run_dedup_incremental(
     base ∪ delta, and the per-generation write volume is bounded by the
     batch's blast radius instead of the corpus.
     """
+    # Corpus-STATEFUL prepare tiers cannot run batch-locally: span dedup
+    # counts chunk occurrences over the whole corpus and capture dedup
+    # picks the latest capture per canonical URL over all captures — a
+    # batch-scoped application diverges from the full-run result the
+    # incremental contract promises (combined == full, row for row).
+    # Supporting them incrementally needs a chunk-count / canonical-
+    # capture snapshot maintained alongside `keys` (the same Iceberg
+    # seam); until then, fail loudly instead of silently diverging.
+    # quality_gate is per-doc (no corpus state) and composes fine.
+    if cfg.span_dedup or cfg.capture_dedup:
+        raise ValueError(
+            "span_dedup/capture_dedup are corpus-stateful prepare tiers "
+            "and are not supported in incremental mode: applying them "
+            "per batch would diverge from a full run over the combined "
+            "corpus. Run them in the full (batch) pipeline, or disable "
+            "them for incremental appends."
+        )
     base_keys: DataFrame | None = None
     if base_tables is not None:
         base_prepared = base_tables["prepared"]

@@ -335,6 +335,17 @@ def stream_dedup(
     directory and stops (batch-style backfill, also what tests use);
     ``False`` runs continuously with the default micro-batch trigger.
     """
+    if cfg.span_dedup or cfg.capture_dedup:
+        # fail BEFORE the query starts: generation 0 (a full run) would
+        # accept these corpus-stateful tiers and generation 1+ (the
+        # incremental path) would then refuse them mid-stream, leaving a
+        # half-built state dir. Same contract as run_dedup_incremental.
+        raise ValueError(
+            "span_dedup/capture_dedup are corpus-stateful prepare tiers "
+            "and are not supported in streaming mode (the incremental "
+            "path cannot apply them batch-locally without diverging "
+            "from the full-run contract)."
+        )
     os.makedirs(workdir, exist_ok=True)
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)

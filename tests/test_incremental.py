@@ -206,3 +206,32 @@ def test_incremental_rejects_stale_feature_format(spark, cfg):
         "array(CAST(3 AS BIGINT)) keys"
     )
     check_base_features_schema(good)  # current format passes
+
+
+def test_incremental_rejects_corpus_stateful_tiers(spark, tmp_path_factory):
+    """span_dedup / capture_dedup count state over the WHOLE corpus; a
+    batch-local application silently diverges from the full-run equality
+    contract, so incremental mode must refuse them loudly."""
+    import pytest
+
+    from sift_kg_spark import DedupConfig
+    from sift_kg_spark.fixtures import generate_corpus
+    from sift_kg_spark.incremental import run_dedup_incremental
+
+    pages_pdf = generate_corpus(40, seed=3)[0].drop(columns=["true_text"])
+    batch = spark.createDataFrame(pages_pdf.iloc[:10])
+    for bad in (
+        DedupConfig(span_dedup=True),
+        DedupConfig(capture_dedup=True),
+    ):
+        with pytest.raises(ValueError, match="corpus-stateful"):
+            run_dedup_incremental(
+                spark,
+                batch,
+                bad,
+                base_tables={
+                    "prepared": batch.limit(0),
+                    "features": batch.limit(0),
+                    "assignments": batch.limit(0),
+                },
+            )

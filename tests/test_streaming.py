@@ -219,3 +219,21 @@ def test_stream_resumes_legacy_state_without_keys(
     assert set(got) == set(want)
     mism = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
     assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
+
+
+def test_stream_rejects_corpus_stateful_tiers(spark, tmp_path_factory):
+    """stream_dedup must refuse span/capture tiers BEFORE the query
+    starts (gen 0 would accept them, gen 1+ would fail mid-stream)."""
+    import pytest
+
+    from sift_kg_spark import DedupConfig
+    from sift_kg_spark.streaming import stream_dedup
+
+    wd = tmp_path_factory.mktemp("stream_reject")
+    with pytest.raises(ValueError, match="corpus-stateful"):
+        stream_dedup(
+            spark,
+            os.path.join(str(wd), "landing"),
+            os.path.join(str(wd), "state"),
+            DedupConfig(span_dedup=True),
+        )

@@ -165,3 +165,61 @@ def test_winnow_plan_is_doc_partitioned(spark, rand_texts):
     plan = winnow_fingerprints(_docs(spark, rand_texts))._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "No Partition Defined" not in plan
+
+
+def test_winnow_unicode_three_engine_parity(spark):
+    """Non-ASCII tokens are where md5-over-text contracts diverge between
+    engines (byte encoding). Pin Spark == DuckDB == Python on accented /
+    CJK / emoji tokens — all three must hash the same utf-8 bytes."""
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        "café naïve über straße café naïve über straße café naïve",
+        "日本語 の 文書 です 日本語 の 文書 です 日本語 の",
+        "mixé ascii and 中文 tokens mixé ascii and 中文 tokens",
+        "🙂 emoji 🙃 tokens 🙂 emoji 🙃 tokens 🙂 emoji",
+    ]
+    k, w = 3, 4
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    got_spark = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(
+            spark.createDataFrame(pdf), k=k, w=w
+        ).collect()
+    }
+    want_py = {
+        (i, fp) for i, t in enumerate(texts) for fp in py_winnow(t, k, w)
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got_duck = set(
+        map(
+            tuple,
+            con.execute(
+                f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, i AS pos,
+                   substr(md5(array_to_string(t[i : i+{k-1}], ' ')), 1, 16)
+                       AS gram_hash,
+                   len(t) - {k} + 1 AS n_grams
+            FROM toks,
+                 LATERAL UNNEST(range(1, CAST(len(t) - {k} + 2 AS BIGINT))) AS u(i)
+            WHERE len(t) >= {k}
+        ), mins AS (
+            SELECT doc_id, pos, n_grams,
+                   min(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {w-1} FOLLOWING) AS fp
+            FROM grams
+        )
+        SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= n_grams - {w} + 1
+        """
+            ).fetchall(),
+        )
+    )
+    assert got_spark == want_py
+    assert got_duck == want_py

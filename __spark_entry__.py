@@ -825,6 +825,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["binary_payload_stats"] = binary_payload_stats
 
+    def multimodal_frame_sample_stats(spark, sf):
+        # video frame-sampling plumbing (functions/multimodal
+        # sample_video_frames over mapInPandas): the fake codec emits one
+        # frame per 1024 payload bytes, evenly sampled up to n_frames —
+        # so the per-doc frame COUNT is a SQL-expressible contract
+        # (least(n, greatest(1, bytes div 1024))) even though the frame
+        # features themselves are seeded numpy vectors.
+        from sift_kg_spark.functions.multimodal import sample_video_frames
+
+        d = (
+            _t(spark, sf, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(
+                F.col("doc_id").cast("string").alias("url"),
+                F.encode("text", "UTF-8").alias("payload"),
+            )
+        )
+        frames = sample_video_frames(d, "payload", n_frames=3)
+        return frames.groupBy(
+            F.col("url").cast("bigint").alias("doc_id")
+        ).agg(
+            F.count("*").alias("n_frames"),
+            F.max("frame_idx").cast("int").alias("max_idx"),
+        )
+
+    q["multimodal_frame_sample_stats"] = multimodal_frame_sample_stats
+
     def ann_lsh_topk_embeddings(spark, sf):
         # scale-path ANN (random-hyperplane LSH buckets + exact re-rank),
         # oracled through an invariant projection: per query, how many of
@@ -1883,6 +1910,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                CAST(octet_length(encode(text)) - length(text) AS INT) AS multibyte_overhead
         FROM documents
+    """
+
+    # frame-sampling contract (functions/multimodal sample_video_frames):
+    # one fake frame per 1024 payload bytes, evenly sampled up to 3
+    o["multimodal_frame_sample_stats"] = """
+        SELECT doc_id,
+               CAST(least(3, greatest(1, octet_length(encode(text)) // 1024))
+                   AS BIGINT) AS n_frames,
+               CAST(least(3, greatest(1, octet_length(encode(text)) // 1024)) - 1
+                   AS INT) AS max_idx
+        FROM documents WHERE text IS NOT NULL
     """
 
     # ---- invariant oracles for the previously rows-only queries ----------

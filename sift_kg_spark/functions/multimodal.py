@@ -4,12 +4,14 @@ A 100 TB training-data pipeline treats images/audio/video as opaque
 ``binary`` columns travelling next to typed metadata, with decode /
 feature-extraction as Arrow-batched UDFs over ``mapInPandas``. The Spark
 side of that — schema, batch iteration, partition-preserving shape, magic-
-byte sniffing — is real and tested here; the codec step itself is stubbed
-(this environment ships no image/audio libraries): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it produces a
-deterministic fake feature vector (seeded from the payload bytes) so the
-downstream plumbing (embedding columns, ANN over them) can be exercised
-end-to-end.
+byte sniffing, byte-budget resize accounting, evenly-spaced frame
+sampling with an exploded per-frame feature table — is real and tested
+here; the codec steps themselves are stubbed (this environment ships no
+image/audio libraries): ``decode_image`` / ``resize_image`` /
+``sample_frames`` raise ``NotImplementedError`` unless ``fake=True``, in
+which case they produce deterministic outputs (seeded from the payload
+bytes) so the downstream plumbing (embedding columns, ANN over them) can
+be exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -69,6 +71,144 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     )
     rng = np.random.default_rng(int(h.sum() % (2**63)))
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+
+
+RESIZE_SCHEMA = (
+    "url string, media_type string, n_bytes_in int, n_bytes_out int,"
+    " resized binary"
+)
+FRAME_SCHEMA = "url string, frame_idx int, frame_feature array<float>"
+
+# fake-codec frame cadence: one "frame" per this many payload bytes
+_FAKE_BYTES_PER_FRAME = 1024
+
+
+def resize_image(
+    payload: bytes, max_bytes: int = 4096, fake: bool = False
+) -> bytes:
+    """Re-encode an image payload under a byte budget.
+
+    STUB: real resizing needs an image codec. With ``fake=True`` the
+    payload is stride-sampled down to ``max_bytes`` deterministically
+    (same bytes in → same bytes out, output never larger than input), so
+    the batching/schema/size-accounting plumbing is real while the codec
+    seam stays honest.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires a codec library (PIL/opencv); "
+            "run with fake=True for deterministic plumbing tests"
+        )
+    raw = bytes(payload)
+    if len(raw) <= max_bytes:
+        return raw
+    stride = -(-len(raw) // max_bytes)  # ceil division
+    return raw[::stride]
+
+
+def sample_frames(
+    payload: bytes, n_frames: int = 4, fake: bool = False
+) -> list[np.ndarray]:
+    """Sample ``n_frames`` evenly spaced frames from a video payload and
+    featurize each to a FEATURE_DIM vector.
+
+    STUB: real frame extraction needs a video codec. With ``fake=True``
+    the payload is treated as one fake frame per ``_FAKE_BYTES_PER_FRAME``
+    bytes; each sampled frame's feature vector is derived
+    deterministically from (its byte slice, its index) — so short
+    payloads yield fewer frames, sampling is evenly spaced over the
+    fake duration, and the exploded schema/ANN plumbing downstream is
+    fully exercised.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video frame sampling requires a codec library (ffmpeg); "
+            "run with fake=True for deterministic plumbing tests"
+        )
+    raw = bytes(payload)
+    total = max(1, len(raw) // _FAKE_BYTES_PER_FRAME)
+    take = min(n_frames, total)
+    out = []
+    for j in range(take):
+        idx = (j * total) // take
+        sl = raw[
+            idx * _FAKE_BYTES_PER_FRAME : (idx + 1) * _FAKE_BYTES_PER_FRAME
+        ]
+        h = pd.util.hash_array(
+            np.frombuffer(sl.ljust(8, b"\0"), dtype=np.uint8).astype(np.uint64)
+        )
+        rng = np.random.default_rng((int(h.sum()) + idx) % (2**63))
+        out.append(rng.standard_normal(FEATURE_DIM).astype(np.float32))
+    return out
+
+
+def resize_payloads(
+    pages: DataFrame,
+    payload_col: str = "html",
+    max_bytes: int = 4096,
+    fake: bool = True,
+) -> DataFrame:
+    """(url, media_type, n_bytes_in, n_bytes_out, resized) via mapInPandas
+    — the batch-shaped resize stage (swap resize_image internals for a
+    real codec on a real cluster; nothing else changes)."""
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                None if b is None else resize_image(b, max_bytes, fake=fake)
+                for b in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "media_type": pdf[payload_col].map(sniff_type),
+                    "n_bytes_in": pdf[payload_col]
+                    .map(lambda b: 0 if b is None else len(b))
+                    .astype("int32"),
+                    "n_bytes_out": pd.Series(
+                        [0 if r is None else len(r) for r in resized],
+                        dtype="int32",
+                    ),
+                    "resized": resized,
+                }
+            )
+
+    return pages.select("url", payload_col).mapInPandas(
+        _op, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_video_frames(
+    pages: DataFrame,
+    payload_col: str = "html",
+    n_frames: int = 4,
+    fake: bool = True,
+) -> DataFrame:
+    """(url, frame_idx, frame_feature) — one row per sampled frame via
+    mapInPandas; null payloads produce no rows. The exploded frame table
+    feeds the same embedding/ANN machinery as document features."""
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, feats = [], [], []
+            for url, b in zip(pdf["url"], pdf[payload_col]):
+                if b is None:
+                    continue
+                for j, v in enumerate(sample_frames(b, n_frames, fake=fake)):
+                    urls.append(url)
+                    idxs.append(j)
+                    feats.append(v)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_feature": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    return pages.select("url", payload_col).mapInPandas(
+        _op, schema=FRAME_SCHEMA
+    )
 
 
 def extract_metadata(pages: DataFrame, payload_col: str = "html") -> DataFrame:

@@ -66,3 +66,66 @@ class TestSparkPlumbing:
             cosines = [r.cosine for r in sorted(rows, key=lambda x: x.rnk)]
             assert cosines == sorted(cosines, reverse=True)
             assert all(-1.001 <= c <= 1.001 for c in cosines)
+
+
+class TestResizeStub:
+    def test_real_resize_raises(self):
+        with pytest.raises(NotImplementedError):
+            M.resize_image(b"\x89PNG....")
+
+    def test_fake_resize_deterministic_and_bounded(self):
+        big = bytes(range(256)) * 64          # 16 KiB
+        a = M.resize_image(big, max_bytes=1000, fake=True)
+        b = M.resize_image(big, max_bytes=1000, fake=True)
+        assert a == b
+        assert 0 < len(a) <= 1000
+        small = b"tiny"
+        assert M.resize_image(small, max_bytes=1000, fake=True) == small
+
+    def test_resize_batch_plumbing(self, spark, pages_df):
+        sample = pages_df.filter("html is not null").limit(30)
+        out = M.resize_payloads(sample, max_bytes=512).collect()
+        assert len(out) == 30
+        for r in out:
+            assert r.n_bytes_out <= max(512, r.n_bytes_in)
+            assert r.n_bytes_out == len(r.resized)
+            assert r.n_bytes_in >= r.n_bytes_out
+
+
+class TestFrameSampling:
+    def test_real_sampling_raises(self):
+        with pytest.raises(NotImplementedError):
+            M.sample_frames(b"\x1a\x45\xdf\xa3....")
+
+    def test_fake_frames_deterministic_even_spacing(self):
+        payload = bytes(range(256)) * 32      # 8 KiB -> 8 fake frames
+        a = M.sample_frames(payload, n_frames=4, fake=True)
+        b = M.sample_frames(payload, n_frames=4, fake=True)
+        assert len(a) == 4
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
+        assert all(v.shape == (M.FEATURE_DIM,) for v in a)
+        # distinct sampled frames must differ (seeded by slice + index)
+        assert not np.array_equal(a[0], a[1])
+        # short payload: fewer fake frames than requested
+        short = M.sample_frames(b"x" * 2000, n_frames=4, fake=True)
+        assert len(short) == 2000 // M._FAKE_BYTES_PER_FRAME
+
+    def test_frame_table_plumbing(self, spark, pages_df):
+        from pyspark.sql import functions as F
+
+        sample = pages_df.filter("html is not null").limit(20)
+        frames = M.sample_video_frames(sample, n_frames=3)
+        rows = frames.collect()
+        assert rows, "html payloads must yield fake frames"
+        by_url = {}
+        for r in rows:
+            by_url.setdefault(r.url, []).append(r.frame_idx)
+            assert len(r.frame_feature) == M.FEATURE_DIM
+        for idxs in by_url.values():
+            assert sorted(idxs) == list(range(len(idxs)))  # 0..n-1 per url
+            assert len(idxs) <= 3
+        # null payloads emit no rows
+        n_null = M.sample_video_frames(
+            pages_df.filter("html is null").limit(10)
+        ).count()
+        assert n_null == 0

@@ -581,6 +581,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["region_revenue"] = region_revenue
 
+    def part_brand_nation_profit(spark, sf):
+        # TPC-H Q9 analog (J1/J2 broadcast dim chain through BOTH part and
+        # supplier): revenue by supplier nation x part brand x ship year.
+        # All three dims broadcast; the fact table never re-partitions
+        # until the final group-by exchange.
+        li = _t(spark, sf, "lineitem")
+        p = _t(spark, sf, "part").select("p_partkey", "p_brand")
+        s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+        n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy(
+                F.col("n_name").alias("nation"),
+                "p_brand",
+                F.year("l_shipdate").alias("ship_year"),
+            )
+            .agg(
+                F.count("*").alias("n_lines"),
+                # exact decimal accumulation: double sums are
+                # order-sensitive and one group in the driver data lands
+                # exactly on a 0.05 rounding boundary
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(18,4)")
+                        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                    ),
+                    1,
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+
+    q["part_brand_nation_profit"] = part_brand_nation_profit
+
     def top3_customers_per_nation(spark, sf):
         o = _t(spark, sf, "orders")
         c = _t(spark, sf, "customer")
@@ -1752,6 +1789,20 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """
+
+    o["part_brand_nation_profit"] = """
+        SELECT n_name AS nation, p_brand,
+               CAST(year(l_shipdate) AS INT) AS ship_year,
+               count(*) AS n_lines,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 1)
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2, 3
     """
 
     o["top3_customers_per_nation"] = """

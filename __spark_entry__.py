@@ -196,12 +196,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def gopher_quality_flags(spark, sf):
         # Gopher rule-based quality gate (Rae et al. 2021 A1.1) as a
         # library operator: word-count / mean-word-length / symbol-ratio
-        # / distinct-stopword rules + conjunctive keep bit. Thresholds
-        # tuned so the synthetic corpus splits on every rule.
+        # / distinct-stopword rules + conjunctive keep bit, at the
+        # PUBLISHED default stop-word list (the/be/to/of/and/that/have/
+        # with, >= 2 distinct). The synthetic vocabulary carries only
+        # 'the' of those, so even docs deterministically gain a
+        # function-word tail (mirrored in the oracle) to keep the
+        # stopword rule non-vacuous; thresholds tuned so the corpus
+        # splits on every rule.
         from sift_kg_spark.functions.quality import gopher_flags
 
+        d = _t(spark, sf, "documents").withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.col("text"), F.lit(" and of that age")),
+            ).otherwise(F.col("text")),
+        )
         return gopher_flags(
-            _t(spark, sf, "documents"),
+            d,
             min_words=40,
             max_words=100_000,
             min_mean_word_len=4.0,
@@ -1036,6 +1048,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_lsh_candidates"] = dedup_lsh_candidates
 
+    def simhash_near_dups(spark, sf):
+        # Standalone SimHash-Hamming near-dup operator (operators/
+        # simhash): 64-bit fingerprint -> chunk-pair blocking keys ->
+        # bit_count(xor) confirm, no MinHash anywhere. Invariant: a
+        # planted EXACT copy has Hamming 0, every chunk clean, so the
+        # deterministic pigeonhole channel MUST surface the pair and the
+        # confirm must score it 0. (Near-dup distances are pinned against
+        # a brute-force kernel oracle in tests/test_simhash_op.py — the
+        # planted-copy projection here keeps the driver oracle exact.)
+        from sift_kg_spark.operators.simhash import simhash_near_dup_pairs
+
+        d = _t(spark, sf, "documents")
+        url_of = F.format_string(
+            "doc://%s/%06d", F.col("source"), F.col("doc_id")
+        )
+        planted = d.filter(
+            (F.col("doc_id") % 17 == 3) & (F.col("n_chars") >= 400)
+        )
+        base = d.select(url_of.alias("id"), "text")
+        copies = planted.select(
+            F.concat(url_of, F.lit("#sim")).alias("id"), "text"
+        )
+        pairs = simhash_near_dup_pairs(
+            base.unionByName(copies), id_col="id", text_col="text",
+            max_hamming=6,
+        )
+        want = planted.select(
+            "doc_id",
+            url_of.alias("id_a"),
+            F.concat(url_of, F.lit("#sim")).alias("id_b"),
+        )
+        hit = want.join(pairs, ["id_a", "id_b"], "inner").select(
+            "doc_id", F.lit(1).alias("pair_found"), F.col("hamming")
+        )
+        return (
+            want.select("doc_id")
+            .join(hit, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("pair_found", F.lit(0)).alias("pair_found"),
+                F.coalesce("hamming", F.lit(-1)).alias("hamming"),
+            )
+        )
+
+    q["simhash_near_dups"] = simhash_near_dups
+
     def dedup_full_pipeline(spark, sf):
         # invariants over the FULL pipeline on documents + planted exact
         # copies: (1) every planted copy pair is co-clustered; (2) the
@@ -1424,12 +1482,17 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["gopher_quality_flags"] = """
-        WITH s AS (
+        WITH aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN text || ' and of that age' ELSE text END AS text
+            FROM documents
+        ), s AS (
             SELECT doc_id,
                    regexp_split_to_array(trim(text), '\\s+') AS t,
                    length(text) - length(regexp_replace(text, '[#.,;:!?]', '', 'g'))
                        AS n_symbols
-            FROM documents
+            FROM aug
         ), sig AS (
             SELECT doc_id,
                    len(t) AS n_words,
@@ -1437,8 +1500,8 @@ def oracle_sql() -> dict[str, str]:
                         / greatest(len(t), 1) AS DOUBLE) AS mean_word_len,
                    CAST(n_symbols / greatest(len(t), 1) AS DOUBLE)
                        AS symbol_ratio,
-                   len(list_intersect(t, ['the','a','an','and','of','to',
-                                          'in','is','that','it']))
+                   len(list_intersect(t, ['the','be','to','of','and',
+                                          'that','have','with']))
                        AS n_stopwords
             FROM s
         )
@@ -1993,6 +2056,11 @@ def oracle_sql() -> dict[str, str]:
 
     o["dedup_lsh_candidates"] = """
         SELECT doc_id, 1 AS pair_in_candidates
+        FROM documents WHERE doc_id % 17 = 3 AND n_chars >= 400
+    """
+
+    o["simhash_near_dups"] = """
+        SELECT doc_id, 1 AS pair_found, 0 AS hamming
         FROM documents WHERE doc_id % 17 = 3 AND n_chars >= 400
     """
 

@@ -105,15 +105,27 @@ def main() -> int:
     pipeline_sec = min(run_secs)
 
     # --- per-query timings over the driver testdata tables ---
+    # Best-of-N per QUERY too, not just the headline: this host's
+    # wall-clock drifts >2x between sessions (BENCH/AB_r03.md), and the
+    # r4 single-shot loop recorded 8-17x phantom "regressions" when one
+    # drift spike landed inside a timed query (adjudicated non-reproducing
+    # in VERDICT r4). Both runs are recorded per query so drift is
+    # readable off this file alone.
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     query_secs: dict[str, float] = {}
+    query_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        query_secs[name] = round(time.monotonic() - t0, 3)
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            df.count()
+            runs.append(round(time.monotonic() - t0, 3))
+            spark.catalog.clearCache()  # same fresh-plan rule as headline
+        query_secs[name] = min(runs)
+        query_runs[name] = runs
 
     out = {
         "metric": "dedup_pipeline_wall_sec",
@@ -126,6 +138,7 @@ def main() -> int:
         "cpus": cpus,
         "runs_sec": [round(s, 2) for s in run_secs],
         "queries": query_secs,
+        "query_runs_sec": query_runs,
         "sf": sf,
     }
     print(json.dumps(out))

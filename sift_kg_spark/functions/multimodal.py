@@ -16,12 +16,34 @@ be exercised end-to-end.
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Optional-import codec seam: when a real image codec (PIL) or video
+# demuxer (PyAV) is installed, ``fake=False`` uses it; otherwise
+# ``fake=False`` keeps raising NotImplementedError (the honest stub this
+# sandbox ships, which has neither library). The fake path is unchanged
+# either way — deterministic plumbing tests never depend on the codecs.
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover
+    _PILImage = None
+    HAS_PIL = False
+
+try:  # pragma: no cover - environment-dependent
+    import av as _av
+
+    HAS_AV = True
+except ImportError:  # pragma: no cover
+    _av = None
+    HAS_AV = False
 
 # (magic bytes, sniffed type) — deterministic, library-free
 _MAGIC = [
@@ -51,15 +73,34 @@ def sniff_type(payload: bytes | None) -> str:
     return "application/octet-stream"
 
 
+def _image_to_feature(img) -> np.ndarray:
+    """Grayscale 4x4 thumbnail -> FEATURE_DIM float vector in [0, 1].
+
+    Deterministic for a given decoded image (PIL's nearest-neighbor
+    reduce has no randomness), so the real path keeps the same
+    same-bytes-in -> same-vector-out contract as the fake path.
+    """
+    side = int(FEATURE_DIM**0.5)
+    small = img.convert("L").resize((side, side), _PILImage.NEAREST)
+    return (
+        np.asarray(small, dtype=np.float32).reshape(FEATURE_DIM) / 255.0
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to a FEATURE_DIM float vector.
 
-    STUB: real decoding needs an image codec library that is not available
-    in this environment. With ``fake=True`` a deterministic feature vector
-    is derived from the payload bytes (stable across runs/processes), so
-    schema, batching, and downstream ANN plumbing are fully exercised.
+    With ``fake=False`` the real codec path runs when PIL is installed
+    (optional import at module load); without PIL it raises — the honest
+    stub for codec-free environments. With ``fake=True`` a deterministic
+    feature vector is derived from the payload bytes (stable across
+    runs/processes), so schema, batching, and downstream ANN plumbing are
+    fully exercised with no codec at all.
     """
     if not fake:
+        if HAS_PIL:
+            with _PILImage.open(io.BytesIO(bytes(payload))) as img:
+                return _image_to_feature(img)
         raise NotImplementedError(
             "image decode requires a codec library (PIL/opencv); "
             "run with fake=True for deterministic plumbing tests"
@@ -88,13 +129,32 @@ def resize_image(
 ) -> bytes:
     """Re-encode an image payload under a byte budget.
 
-    STUB: real resizing needs an image codec. With ``fake=True`` the
-    payload is stride-sampled down to ``max_bytes`` deterministically
-    (same bytes in → same bytes out, output never larger than input), so
-    the batching/schema/size-accounting plumbing is real while the codec
+    With ``fake=False`` and PIL installed, the image is re-encoded as
+    PNG with its dimensions halved until the encoding fits ``max_bytes``
+    (deterministic; an already-fitting payload is returned unchanged).
+    Without PIL, ``fake=False`` raises. With ``fake=True`` the payload is
+    stride-sampled down to ``max_bytes`` deterministically (same bytes in
+    → same bytes out, output never larger than input), so the
+    batching/schema/size-accounting plumbing is real while the codec
     seam stays honest.
     """
     if not fake:
+        if HAS_PIL:
+            raw = bytes(payload)
+            if len(raw) <= max_bytes:
+                return raw
+            with _PILImage.open(io.BytesIO(raw)) as img:
+                im = img.convert("RGB")
+                while True:
+                    buf = io.BytesIO()
+                    im.save(buf, format="PNG")
+                    out = buf.getvalue()
+                    if len(out) <= max_bytes or min(im.size) <= 1:
+                        return out
+                    im = im.resize(
+                        (max(1, im.width // 2), max(1, im.height // 2)),
+                        _PILImage.NEAREST,
+                    )
         raise NotImplementedError(
             "image resize requires a codec library (PIL/opencv); "
             "run with fake=True for deterministic plumbing tests"
@@ -112,15 +172,31 @@ def sample_frames(
     """Sample ``n_frames`` evenly spaced frames from a video payload and
     featurize each to a FEATURE_DIM vector.
 
-    STUB: real frame extraction needs a video codec. With ``fake=True``
-    the payload is treated as one fake frame per ``_FAKE_BYTES_PER_FRAME``
-    bytes; each sampled frame's feature vector is derived
-    deterministically from (its byte slice, its index) — so short
-    payloads yield fewer frames, sampling is evenly spaced over the
-    fake duration, and the exploded schema/ANN plumbing downstream is
-    fully exercised.
+    With ``fake=False`` and PyAV installed, the container is demuxed,
+    ``n_frames`` evenly spaced frames are decoded, and each is
+    featurized with the same 4x4-grayscale reducer as ``decode_image``
+    (PIL also required for the reducer). Without the codecs,
+    ``fake=False`` raises. With ``fake=True`` the payload is treated as
+    one fake frame per ``_FAKE_BYTES_PER_FRAME`` bytes; each sampled
+    frame's feature vector is derived deterministically from (its byte
+    slice, its index) — so short payloads yield fewer frames, sampling
+    is evenly spaced over the fake duration, and the exploded schema/ANN
+    plumbing downstream is fully exercised.
     """
     if not fake:
+        if HAS_AV and HAS_PIL:
+            with _av.open(io.BytesIO(bytes(payload))) as container:
+                frames = [
+                    f.to_image() for f in container.decode(video=0)
+                ]
+            total = len(frames)
+            if total == 0:
+                return []
+            take = min(n_frames, total)
+            return [
+                _image_to_feature(frames[(j * total) // take])
+                for j in range(take)
+            ]
         raise NotImplementedError(
             "video frame sampling requires a codec library (ffmpeg); "
             "run with fake=True for deterministic plumbing tests"

@@ -24,10 +24,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Gopher uses a larger stop-word list; this frozen subset is the one the
-# lang-id voter (functions/text.py) already anchors on, kept identical so
-# the two gates agree on what counts as an English function word.
-STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "that", "it")
+# The published Gopher stop-word rule (Rae et al. 2021, A1.1): a document
+# must contain at least two of these eight English function words. This is
+# the DEFAULT — the rule as published, so a corpus gated here matches the
+# paper's MassiveWeb filter.
+STOPWORDS_GOPHER = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# The frozen subset the lang-id voter (functions/text.py) anchors on —
+# kept available so a pipeline that wants the quality gate and the lang-id
+# heuristic to agree on what counts as an English function word can pass
+# it explicitly (the pre-r5 default).
+STOPWORDS_LANGID = ("the", "a", "an", "and", "of", "to", "in", "is", "that", "it")
+
+# A fuller common-English function-word list for corpora where the 8-word
+# rule under-rejects (e.g. keyword-stuffed spam that happens to contain
+# "the" and "and"): the Gopher eight plus the highest-frequency English
+# determiners/prepositions/pronouns. Opt-in via the ``stopwords=`` kwarg.
+STOPWORDS_EN = STOPWORDS_GOPHER + (
+    "a", "an", "in", "is", "it", "for", "on", "as", "was", "are",
+    "at", "by", "this", "from", "or", "but", "not", "they", "his", "her",
+)
+
+STOPWORDS = STOPWORDS_GOPHER  # default alias (backwards-compatible name)
 
 # Characters Gopher counts as "symbols" for the symbol-to-word ratio
 # (hash and ellipsis in the paper; extended with the corpus punctuation

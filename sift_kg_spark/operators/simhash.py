@@ -1,0 +1,132 @@
+"""Standalone SimHash-Hamming near-duplicate detection.
+
+Inside the main pipeline the SimHash channel exists only as one of the
+three packed blocking-key channels (operators/lsh) plus the verify-stage
+Hamming confirm (operators/verify). This module exposes the same
+machinery as a SELF-CONTAINED operator for users who want Hamming-only
+dedup (Charikar 2002; the Google near-dup crawl filter of Manku et al.
+WWW'07): one 64-bit fingerprint per document, chunk-pair blocking, and a
+``bit_count(xor)`` confirm — no MinHash, no suffix stage.
+
+Reference analog: the fuzzy pre-dedup confirm in
+/root/reference/src/sift_kg/graph/prededup.py:120-139 (embedding
+similarity >= 0.95 collapses near-identical names); here the confirm is
+the deterministic Hamming gate the north rule prescribes.
+
+Scale shape (10^12 docs):
+
+* fingerprints — one Arrow-batched pandas UDF pass (the exact
+  ``hashing.simhash64`` kernel the pipeline uses, so fingerprints agree
+  engine-wide), narrow, fuses with the scan.
+* blocking keys — JVM-only bit slicing of the int64 fingerprint
+  (shiftrightunsigned/AND inside whole-stage codegen): C(n_chunks, 2)
+  chunk-pair keys per doc. Pigeonhole guarantee: Hamming(a, b) <=
+  n_chunks - 2 implies >= 2 clean chunks, hence >= 1 shared key — the
+  candidate channel is DETERMINISTIC, not probabilistic.
+* pairing — the single-exchange window shape shared with
+  ``operators/lsh.candidate_pairs``: bucket size/rep from a window over
+  the one key shuffle, buckets over ``hot_cap`` degrade to O(n) star
+  pairing against the min-id representative.
+* confirm — ``bit_count(a ^ b) <= max_hamming`` on the joined
+  fingerprints: pure codegen, no Python on the pair path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sift_kg_spark.functions.hashing import simhash64, tokenize_batch
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per text (int64 bit-view of the uint64 kernel)."""
+    token_hashes, offsets = tokenize_batch(texts)
+    return pd.Series(simhash64(token_hashes, offsets).view("int64"))
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — one 64-bit fingerprint per document."""
+    return docs.select(id_col, simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def _chunk_pair_keys(sim, n_chunks: int):
+    """JVM chunk-pair blocking keys for one int64 simhash column.
+
+    Mirrors ``hashing.simhash_chunks`` semantics (two chunks per key =>
+    2*64/n_chunks bits of signal; single-chunk keys collide
+    quadratically) but runs entirely in codegen: the (i, j) chunk pair is
+    packed into one long and salted with the pair index via xxhash64 so
+    identical chunk VALUES in different positions never alias.
+    """
+    width = 64 // n_chunks
+    mask = F.lit((1 << width) - 1)
+    chunks = [
+        F.shiftrightunsigned(sim, c * width).bitwiseAND(mask)
+        for c in range(n_chunks)
+    ]
+    keys = []
+    for i in range(n_chunks):
+        for j in range(i + 1, n_chunks):
+            packed = F.shiftleft(chunks[i], width).bitwiseOR(chunks[j])
+            keys.append(F.xxhash64(packed, F.lit(i * n_chunks + j)))
+    return F.array(*keys)
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    n_chunks: int = 4,
+    hot_cap: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — document pairs at Hamming distance
+    <= ``max_hamming``, ``id_a < id_b``.
+
+    Candidate recall: deterministic for pairs with Hamming <=
+    ``n_chunks - 2``; pairs between that and ``max_hamming`` are found
+    iff they keep two clean chunks (callers needing the guarantee at
+    larger distances raise ``n_chunks``). One key exchange, one pairing
+    join, hot buckets star-paired — the same 100-TB shape as the LSH
+    candidate exchange.
+    """
+    if 64 % n_chunks != 0:
+        raise ValueError("n_chunks must divide 64")
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    keys = fps.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(_chunk_pair_keys(F.col("simhash"), n_chunks)).alias("key"),
+    )
+    w = Window.partitionBy("key")
+    sized = (
+        keys.withColumn("bucket_size", F.count("*").over(w))
+        .withColumn("rep", F.min("_id").over(w))
+        .filter(F.col("bucket_size") > 1)
+    )
+    # single-join pairing (see lsh.candidate_pairs for the AQE rationale):
+    # a-side = normal-bucket members + hot-bucket reps; rep is the bucket
+    # min so star pairs always satisfy a < b.
+    a_side = sized.filter(
+        (F.col("bucket_size") <= hot_cap) | (F.col("_id") == F.col("rep"))
+    ).select("key", F.col("_id").alias("id_a"), F.col("simhash").alias("_sa"))
+    b_side = sized.select(
+        "key", F.col("_id").alias("id_b"), F.col("simhash").alias("_sb")
+    )
+    return (
+        a_side.join(b_side, "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

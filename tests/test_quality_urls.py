@@ -280,8 +280,11 @@ class TestPipelineQualityGate:
         from sift_kg_spark.config import DedupConfig
         from sift_kg_spark.pipeline import run_dedup
 
+        # must clear the published Gopher stopword rule (>= 2 of the
+        # 8-word list): carries "the", "and", "of", "with"
         good = ("the quick brown fox jumps over a lazy dog near the "
-                "riverbank while tall green trees sway in warm wind " * 2)
+                "riverbank while tall trees sway and bend with wind of "
+                "early spring mornings " * 2)
         short = "the tiny a page of text here now"   # > min_text_chars,
                                                       # < quality_min_words
         rows = [(f"http://q.com/{i}", good) for i in range(4)]

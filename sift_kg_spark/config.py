@@ -89,6 +89,17 @@ class DedupConfig:
     # bucket representative (star) instead of all-pairs; boilerplate-driven
     # mega-buckets otherwise generate O(n^2) pairs.
 
+    # Bucket SIZING strategy for the candidate/winnow exchanges. False
+    # (default): window over the single key exchange — cheapest plan, but
+    # a mega-bucket's count/min runs in one task (measured envelope in
+    # BENCH/SKEW.md: ~1 s per 1M-member bucket). True: two-level
+    # pre-salted count (operators/lsh.sized_buckets) — map-side-combined
+    # partials, no single-task bucket scan, one extra key-table exchange.
+    # Flip it when the metrics table's bucket_size_histogram shows
+    # buckets past ~10^7 members. Pair output is bit-identical either way
+    # (pinned by tests + the SKEW.md checksum column).
+    salted_sizing: bool = False
+
     # --- connected components ---
     max_cc_iterations: int = 50
 

@@ -63,6 +63,55 @@ def explode_keys(features: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def sized_buckets(
+    rows: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    salted: bool = False,
+    salt_fanout: int = 32,
+) -> DataFrame:
+    """Append ``bucket_size`` / ``bucket_rep`` per key; keep collision
+    buckets only. Two physically different plans, bit-identical output:
+
+    * ``salted=False`` (default): a window over the single key exchange —
+      the cheapest shape (the pairing join reuses the same exchange), but
+      a mega-bucket's count/min runs inside the ONE task that owns its
+      key (WindowExec has no map-side combine and AQE cannot split a
+      window partition). Measured envelope in BENCH/SKEW.md: linear and
+      bounded to ~1 s per 1M-member bucket — fine until extreme skew.
+    * ``salted=True``: the two-level pre-salted count — partial
+      (count, min) per (key, xxhash64(id) pmod ``salt_fanout``), which
+      map-side combines so no task ever buffers a whole mega-bucket,
+      re-aggregated per key (tiny: one row per colliding key) and
+      hash-joined back onto the key exchange. Costs one extra exchange
+      of the key table (the join side) — worth it only when the
+      bucket-size histogram (``bucket_size_histogram``, written to the
+      metrics table) shows buckets far past the SKEW.md envelope
+      (~10^7+ members: a boilerplate fingerprint shared by a whole
+      crawl). Enable via ``DedupConfig.salted_sizing``.
+    """
+    if not salted:
+        w = Window.partitionBy(*key_cols)
+        return (
+            rows.withColumn("bucket_size", F.count("*").over(w))
+            .withColumn("bucket_rep", F.min(id_col).over(w))
+            .filter(F.col("bucket_size") > 1)
+        )
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_fanout))
+    partial = rows.groupBy(*key_cols, salt.alias("_salt")).agg(
+        F.count("*").alias("_c"), F.min(id_col).alias("_m")
+    )
+    sizes = (
+        partial.groupBy(*key_cols)
+        .agg(
+            F.sum("_c").alias("bucket_size"),
+            F.min("_m").alias("bucket_rep"),
+        )
+        .filter(F.col("bucket_size") > 1)
+    )
+    return rows.join(sizes, on=key_cols, how="inner")
+
+
 def candidate_pairs(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Distinct (uid_a < uid_b) candidate pairs from the key exchange.
 
@@ -88,19 +137,16 @@ def candidate_pairs(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
     100k-member bucket is seconds, bounded and linear, while the pairing
     itself stays O(n) via the star branch below. Keys are near-uniform
     int64 hashes, so bucket skew never compounds with partition skew
-    (many buckets share a partition). If a corpus ever makes this the
-    bottleneck, the escape hatch is a two-level size count (pre-salted
-    partial count per (key, uid % S) then re-agg) at the cost of a second
-    exchange — rejected for now because the single exchange is worth
-    more (it cut the level-invariant cost F by ~16 s, SCALING.md r3).
+    (many buckets share a partition). For corpora past that envelope
+    (~10^7+-member boilerplate buckets), ``cfg.salted_sizing`` switches
+    to the two-level pre-salted count (``sized_buckets``) — map-side-
+    combined partials, no single-task bucket scan — at the cost of one
+    extra key-table exchange; outputs are bit-identical either way
+    (BENCH/SKEW.md carries the crossover measurement).
     """
     key_cols = ["lang", "key"] if cfg.partition_by_lang else ["key"]
-
-    w = Window.partitionBy(*key_cols)
-    keyed = (
-        keys.withColumn("bucket_size", F.count("*").over(w))
-        .withColumn("bucket_rep", F.min("doc_uid").over(w))
-        .filter(F.col("bucket_size") > 1)
+    keyed = sized_buckets(
+        keys, key_cols, "doc_uid", salted=cfg.salted_sizing
     )
 
     # ONE join, no union-of-branches: because bucket_rep is the bucket's

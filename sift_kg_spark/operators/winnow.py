@@ -125,6 +125,7 @@ def fingerprint_pairs(
     id_col: str = "doc_id",
     min_shared: int = 2,
     hot_cap: int = 64,
+    salted_sizing: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared) — document pairs sharing >= ``min_shared``
     fingerprint values, ``doc_a < doc_b``.
@@ -145,12 +146,18 @@ def fingerprint_pairs(
     costs O(n) rows, not O(n^2); ``n_shared`` for star pairs counts only
     rep-adjacent co-occurrences — the deliberate degradation documented
     for the LSH hot branch.
+
+    ``salted_sizing=True`` swaps the sizing window for the two-level
+    pre-salted count (operators/lsh.sized_buckets — map-side-combined
+    partials, no single-task mega-bucket scan, one extra exchange);
+    output is bit-identical either way.
     """
-    win = Window.partitionBy("fp")
-    sized = (
-        fps.withColumn("n_docs", F.count("*").over(win))
-        .withColumn("rep", F.min(id_col).over(win))
-        .filter(F.col("n_docs") > 1)
+    from sift_kg_spark.operators.lsh import sized_buckets
+
+    sized = sized_buckets(
+        fps, ["fp"], id_col, salted=salted_sizing
+    ).withColumnRenamed("bucket_size", "n_docs").withColumnRenamed(
+        "bucket_rep", "rep"
     )
     # doc_a side: every member of a normal bucket, only the min-id rep of
     # a hot bucket. doc_b side: every member. doc_a < doc_b yields each

@@ -288,3 +288,61 @@ class TestJaccardUdfProperty:
 
     def test_empty_batch(self):
         assert self._kernel([], []) == []
+
+
+class TestSaltedSizing:
+    """salted_sizing=True (two-level pre-salted bucket count) must be
+    bit-identical to the window path — same pairs, channels, n_keys —
+    including across the hot-band star threshold."""
+
+    def _keys(self, spark):
+        # 3 collision buckets: a pair (tag 0), a triple (tag 1), and a
+        # hot bucket of 9 > hot_band_cap=4 (tag 0); plus singletons.
+        rows = []
+        rows += [(i, "en", 8) for i in (1, 2)]               # pair
+        rows += [(i, "en", 17) for i in (3, 4, 5)]           # triple, tag 1
+        rows += [(i, "en", 40) for i in range(10, 19)]       # hot bucket
+        rows += [(i, "en", 1000 + 4 * i) for i in range(30, 40)]  # singletons
+        return spark.createDataFrame(
+            rows, "doc_uid long, lang string, key long"
+        )
+
+    def test_candidate_pairs_bit_identical(self, spark):
+        keys = self._keys(spark)
+        cfg_w = DedupConfig(hot_band_cap=4)
+        cfg_s = DedupConfig(hot_band_cap=4, salted_sizing=True)
+        cols = ["uid_a", "uid_b", "channel", "n_keys"]
+        got_w = sorted(
+            tuple(r[c] for c in cols)
+            for r in candidate_pairs(keys, cfg_w).collect()
+        )
+        got_s = sorted(
+            tuple(r[c] for c in cols)
+            for r in candidate_pairs(keys, cfg_s).collect()
+        )
+        assert got_w == got_s
+        assert len(got_w) == 1 + 3 + 8  # pair + triple all-pairs + star(9)
+        # star pairs all include the hot bucket's min uid
+        star = [p for p in got_w if p[0] == 10]
+        assert len(star) == 8
+
+    def test_winnow_pairs_bit_identical(self, spark):
+        from sift_kg_spark.operators.winnow import fingerprint_pairs
+
+        fps = spark.createDataFrame(
+            [("a", "f1"), ("b", "f1"), ("a", "f2"), ("b", "f2"),
+             ("c", "f2"), ("d", "f9")],
+            "doc_id string, fp string",
+        )
+        base = sorted(
+            (r.doc_a, r.doc_b, r.n_shared)
+            for r in fingerprint_pairs(fps, min_shared=1).collect()
+        )
+        salted = sorted(
+            (r.doc_a, r.doc_b, r.n_shared)
+            for r in fingerprint_pairs(
+                fps, min_shared=1, salted_sizing=True
+            ).collect()
+        )
+        assert base == salted
+        assert ("a", "b", 2) in base

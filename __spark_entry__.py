@@ -1264,6 +1264,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_incremental_append"] = dedup_incremental_append
 
+    def dedup_incremental_capture(spark, sf):
+        # Capture tier in incremental mode (r4 VERDICT item 1): the batch
+        # RE-CRAWLS existing urls at a later warc_ts — half with edited
+        # near-dup text (stays in the family via new pairing), half with
+        # unrelated text (leaves its exact-dup cluster; the superseded
+        # capture's rows must vanish and its cluster repair). Invariant:
+        # the incremental COMBINED assignments equal a full capture-mode
+        # run over every raw capture, row for row.
+        import tempfile
+
+        from sift_kg_spark.config import DedupConfig
+        from sift_kg_spark.incremental import run_dedup_incremental
+        from sift_kg_spark.pipeline import run_dedup
+
+        cfg = DedupConfig(min_text_chars=10, capture_dedup=True)
+        base_pages = _docs_as_pages(spark, sf)
+        d = _t(spark, sf, "documents")
+        url_of = F.format_string(
+            "doc://%s/%06d", F.col("source"), F.col("doc_id")
+        )
+        planted = d.filter(
+            (F.col("doc_id") % 23).isin(5, 7) & (F.col("n_chars") >= 200)
+        )
+        ts2 = F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+        edited = F.expr(
+            "array_join(transform(split(trim(text), '\\\\s+'),"
+            " (t, i) -> IF(i = 1, 'recrawl9', t)), ' ')"
+        )
+        unrelated = F.concat(
+            F.lit("entirely fresh recrawl body "),
+            F.expr("array_join(transform(sequence(1, 30),"
+                   " i -> concat('fresh', doc_id, 'w', i)), ' ')"),
+        )
+        batch = planted.select(
+            url_of.alias("url"),
+            ts2.alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.when(F.col("doc_id") % 23 == 5, edited)
+            .otherwise(unrelated)
+            .alias("text"),
+            F.col("lang"),
+        )
+
+        base_wd = tempfile.mkdtemp(prefix="skg_capq_base_")
+        run_dedup(spark, base_pages, cfg, workdir=base_wd)
+        inc = run_dedup_incremental(spark, batch, cfg, base_workdir=base_wd)
+        full = run_dedup(spark, base_pages.unionByName(batch), cfg)
+
+        fa = full.assignments.select(
+            "url",
+            F.col("cluster_id").alias("f_cl"),
+            F.col("canonical_url").alias("f_ca"),
+            F.col("cluster_size").alias("f_sz"),
+        )
+        ia = inc.assignments.select(
+            "url",
+            F.col("cluster_id").alias("i_cl"),
+            F.col("canonical_url").alias("i_ca"),
+            F.col("cluster_size").alias("i_sz"),
+        )
+        j = fa.join(ia, "url", "full_outer")
+        bad = (
+            F.col("f_cl").isNull()
+            | F.col("i_cl").isNull()
+            | (F.col("f_cl") != F.col("i_cl"))
+            | (F.col("f_ca") != F.col("i_ca"))
+            | (F.col("f_sz") != F.col("i_sz"))
+        )
+        global_bad = j.select(
+            F.max(F.when(bad, 1).otherwise(0)).alias("_any_bad")
+        )
+        # per planted doc: its url must carry the RE-CRAWLED assignment
+        # (present in the incremental result at all)
+        per = planted.select("doc_id", url_of.alias("url")).join(
+            ia.select("url", F.lit(1).alias("_present")), "url", "left"
+        )
+        return per.crossJoin(F.broadcast(global_bad)).select(
+            "doc_id",
+            (
+                (F.coalesce("_present", F.lit(0)) == 1)
+                & (F.col("_any_bad") == 0)
+            ).cast("int").alias("combined_equals_full"),
+        )
+
+    q["dedup_incremental_capture"] = dedup_incremental_capture
+
     # ---- cluster-graph stats + exports (A8 / G3 / W3 / S12+X10) -----------
 
     def _block_assign(spark, sf):
@@ -2072,6 +2158,11 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_incremental_append"] = """
         SELECT doc_id, 1 AS combined_equals_full
         FROM documents WHERE doc_id % 17 = 3 AND n_chars >= 200
+    """
+
+    o["dedup_incremental_capture"] = """
+        SELECT doc_id, 1 AS combined_equals_full
+        FROM documents WHERE doc_id % 23 IN (5, 7) AND n_chars >= 200
     """
 
     o["cluster_pair_stats"] = """

@@ -46,6 +46,21 @@ full run on the combined corpus whenever candidate coverage does (planted
 -class equivalence is pinned by tests/test_incremental.py). cluster_id =
 min member url and the A1 canonical rule hold globally because min-label
 contraction composes: min(min(A), min(B)) = min(A ∪ B).
+
+Capture tier (``cfg.capture_dedup``): keep-latest-per-canonical-URL is a
+monotone max_by fold, so it incrementalizes against a committed
+``captures`` snapshot (canonical_url -> winning (warc_ts, url)). A batch
+capture that beats the base winner turns that base doc into a TOMBSTONE:
+its prepared/features/keys rows leave every base view (broadcast
+anti-joins, applied physically only at compaction), its pair evidence is
+rewritten onto a surviving same-(sha,lang) doc — identical text, so
+scores carry verbatim — or dies with it, and its cluster re-enters
+connected components at MEMBER level (removal can split a cluster; the
+old label may be the dead doc), with deletion rows (cluster_id NULL) in
+the assignments delta carrying the MERGE INTO delete half. Cost stays
+O(batch + blast radius); combined == full is pinned by
+tests/test_incremental.py::TestIncrementalCaptureDedup across batch
+splits where re-crawls straddle the split.
 """
 
 from __future__ import annotations
@@ -153,29 +168,35 @@ def run_dedup_incremental(
     base ∪ delta, and the per-generation write volume is bounded by the
     batch's blast radius instead of the corpus.
     """
-    # Corpus-STATEFUL prepare tiers cannot run batch-locally: span dedup
-    # counts chunk occurrences over the whole corpus and capture dedup
-    # picks the latest capture per canonical URL over all captures — a
-    # batch-scoped application diverges from the full-run result the
-    # incremental contract promises (combined == full, row for row).
-    # Supporting them incrementally needs a chunk-count / canonical-
-    # capture snapshot maintained alongside `keys` (the same Iceberg
-    # seam); until then, fail loudly instead of silently diverging.
+    # span_dedup remains the one corpus-stateful prepare tier refused in
+    # incremental mode: chunk counts are corpus-global and a threshold
+    # crossing re-cleans (re-hashes, re-pairs) every doc carrying the
+    # chunk — see docs/ICEBERG.md §6 for the vocabulary-delta design and
+    # its cost analysis. capture_dedup IS supported (r4 verdict item 1):
+    # keep-latest-per-canonical-URL is a monotone max_by fold over a
+    # committed captures snapshot; superseded base docs become TOMBSTONES
+    # and their clusters are repaired from the stored pair evidence —
+    # everything below stays O(batch + blast radius).
     # quality_gate is per-doc (no corpus state) and composes fine.
-    if cfg.span_dedup or cfg.capture_dedup:
+    if cfg.span_dedup:
         raise ValueError(
-            "span_dedup/capture_dedup are corpus-stateful prepare tiers "
-            "and are not supported in incremental mode: applying them "
-            "per batch would diverge from a full run over the combined "
-            "corpus. Run them in the full (batch) pipeline, or disable "
-            "them for incremental appends."
+            "span_dedup is a corpus-stateful prepare tier and is not "
+            "supported in incremental mode: applying it per batch would "
+            "diverge from a full run over the combined corpus (chunk "
+            "occurrence counts are corpus-global). Run it in the full "
+            "(batch) pipeline, or disable it for incremental appends. "
+            "See docs/ICEBERG.md §6 for the incremental design sketch."
         )
     base_keys: DataFrame | None = None
+    base_captures: DataFrame | None = None
+    base_pairs: DataFrame | None = None
     if base_tables is not None:
         base_prepared = base_tables["prepared"]
         base_features = base_tables["features"]
         base_assign = base_tables["assignments"]
         base_keys = base_tables.get("keys")
+        base_captures = base_tables.get("captures")
+        base_pairs = base_tables.get("dup_pairs")
     else:
         if base_workdir is None:
             raise ValueError(
@@ -193,6 +214,18 @@ def run_dedup_incremental(
         base_assign = base.read("assignments")
         if base.exists("keys"):
             base_keys = base.read("keys")
+        if cfg.capture_dedup:
+            if base.exists("captures"):
+                base_captures = base.read("captures")
+            if base.exists("dup_pairs"):
+                base_pairs = base.read("dup_pairs")
+    if cfg.capture_dedup and (base_captures is None or base_pairs is None):
+        raise ValueError(
+            "capture_dedup in incremental mode needs the base run's "
+            "'captures' and 'dup_pairs' snapshots (a capture_dedup=True "
+            "run_dedup with a workdir commits both); the supplied base "
+            "lacks them"
+        )
     check_base_features_schema(base_features)
     if base_keys is None:
         # pre-"keys"-stage base (or hand-assembled base_tables): derive the
@@ -225,6 +258,140 @@ def run_dedup_incremental(
 
     n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     group_cols = ["sha", "lang"] if cfg.partition_by_lang else ["sha"]
+
+    # ---- 0. capture tier: supersede decisions + tombstones -----------------
+    # keep-latest-per-canonical-URL against the committed captures
+    # snapshot. A batch capture SURVIVES iff its (warc_ts, url) total
+    # order beats the base winner for its canonical URL (ties lose —
+    # re-delivered identical captures drop out, the idempotency rule of
+    # this tier). A base winner it beats becomes a TOMBSTONE: its
+    # prepared/features/keys rows leave every base view below, its pairs
+    # are rewritten onto a surviving same-(sha,lang) doc (identical text
+    # => identical evidence) or dropped, and its cluster is repaired at
+    # member level in the delta builder. Everything here is batch-scale
+    # probes against narrow base scans — no base-side shuffle.
+    tombstones: DataFrame | None = None
+    rewrite_map: DataFrame | None = None
+    if cfg.capture_dedup:
+        from sift_kg_spark.functions.urls import canonicalize, latest_captures
+
+        if "warc_ts" not in new_pages.columns:
+            raise ValueError(
+                "capture_dedup in incremental mode needs a warc_ts column "
+                "on the batch"
+            )
+        bcano = canonicalize(latest_captures(new_pages)).localCheckpoint(
+            eager=False
+        )
+        base_hit = base_captures.join(
+            F.broadcast(bcano.select("canonical_url").distinct()),
+            "canonical_url",
+            "leftsemi",
+        ).select(
+            "canonical_url",
+            F.col("url").alias("_base_url"),
+            F.col("warc_ts").alias("_base_ts"),
+        )
+        joined = bcano.join(F.broadcast(base_hit), "canonical_url", "left")
+        batch_wins = F.col("_base_url").isNull() | (
+            F.struct(F.col("warc_ts"), F.col("url"))
+            > F.struct(F.col("_base_ts"), F.col("_base_url"))
+        )
+        surviving = joined.filter(batch_wins)
+        commit(
+            "captures",
+            lambda: surviving.select("canonical_url", "url", "warc_ts"),
+            ("pages",),
+        )
+
+        def build_tombstones() -> DataFrame:
+            dead = surviving.filter(F.col("_base_url").isNotNull()).select(
+                F.col("_base_url").alias("url")
+            )
+            return base_prepared.select(
+                "url", "doc_uid", "sha", "lang", "reason"
+            ).join(F.broadcast(dead), "url", "leftsemi")
+
+        tombstones = commit("tombstones", build_tombstones, ("pages",))
+        tomb_urls = tombstones.select("url")
+        tomb_uids = tombstones.select("doc_uid")
+
+        # every base view downstream sees the corpus WITHOUT the dead
+        # docs — exactly the corpus a full run over (base ∪ batch) sees
+        base_prepared = base_prepared.join(
+            F.broadcast(tomb_urls), "url", "leftanti"
+        )
+
+        # rewrite map: dead url -> min surviving base doc of the same
+        # (sha, lang) group (identical text, so every pair/edge naming
+        # the dead doc re-attributes to it verbatim); null when the
+        # group has no base survivor (the pair dies with the doc).
+        dead_live = tombstones.filter(F.col("reason").isNull())
+        surv_min = (
+            base_prepared.filter(F.col("reason").isNull())
+            .join(
+                F.broadcast(dead_live.select(*group_cols).distinct()),
+                group_cols,
+                "leftsemi",
+            )
+            .groupBy(*group_cols)
+            .agg(F.min("url").alias("repl_url"))
+        )
+        rewrite_map = dead_live.select("url", *group_cols, "doc_uid").join(
+            F.broadcast(surv_min), group_cols, "left"
+        ).select(F.col("url").alias("dead_url"), "doc_uid", "repl_url")
+
+        # re-home the feature/key rows of (sha, lang) groups whose stored
+        # representative died but that keep base survivors: the new rep is
+        # the group's min surviving url (what a full run would pick), its
+        # signature recomputed from the identical text — one UDF call per
+        # such group, bounded by the tombstone count.
+        features_udf_rh = make_features_udf(cfg)
+
+        def build_features_rehomed() -> DataFrame:
+            dead_rep_uids = base_features.select("doc_uid").join(
+                F.broadcast(tomb_uids), "doc_uid", "leftsemi"
+            )
+            rehome_groups = (
+                dead_live.join(
+                    F.broadcast(dead_rep_uids), "doc_uid", "leftsemi"
+                )
+                .join(F.broadcast(surv_min), group_cols, "inner")
+                .select(*group_cols, F.col("repl_url").alias("url"))
+                .distinct()
+            )
+            reps = base_prepared.filter(F.col("reason").isNull()).join(
+                F.broadcast(rehome_groups), [*group_cols, "url"], "inner"
+            )
+            return reps.select(
+                "doc_uid", "url", "lang", "n_chars",
+                features_udf_rh(F.col("text_norm")).alias("f"),
+            ).select(
+                "doc_uid", "url", "lang", "n_chars",
+                "f.n_tokens", "f.shingles", "f.simhash", "f.keys",
+            )
+
+        features_rehomed = commit(
+            "features_rehomed", build_features_rehomed, ("tombstones",)
+        )
+        keys_rehomed = commit(
+            "keys_rehomed",
+            lambda: explode_keys(features_rehomed, cfg),
+            ("features_rehomed",),
+        )
+        base_features = base_features.join(
+            F.broadcast(tomb_uids), "doc_uid", "leftanti"
+        ).unionByName(features_rehomed)
+        base_keys = base_keys.join(
+            F.broadcast(tomb_uids), "doc_uid", "leftanti"
+        ).unionByName(keys_rehomed)
+
+        # the surviving batch rows ARE the effective batch; warc_ts is
+        # dropped so prepare_stage's own capture branch (batch-local
+        # latest_captures — already applied here) stays off.
+        page_cols = [c for c in new_pages.columns if c != "warc_ts"]
+        new_pages = surviving.select(*page_cols)
+
     base_docs = base_prepared.filter(F.col("reason").isNull())
 
     # ---- 1. prepare + base-collision rescue --------------------------------
@@ -235,16 +402,20 @@ def run_dedup_incremental(
         inc = prepare_stage(new_pages, cfg, n_partitions).localCheckpoint(
             eager=False
         )
-        # Idempotent re-delivery: urls already in the base corpus are not
-        # re-deduped (the base decision stands). The redelivered set is
-        # found by streaming the base url column against the BROADCAST
-        # batch url set (narrow base scan, no exchange), then anti-joining
-        # the tiny hit set back — the batch side is small by definition;
-        # the base side never shuffles.
-        url_hits = base_prepared.select("url").join(
-            F.broadcast(inc.select("url").distinct()), "url", "leftsemi"
-        )
-        inc = inc.join(F.broadcast(url_hits), "url", "leftanti")
+        if not cfg.capture_dedup:
+            # Idempotent re-delivery: urls already in the base corpus are
+            # not re-deduped (the base decision stands). The redelivered
+            # set is found by streaming the base url column against the
+            # BROADCAST batch url set (narrow base scan, no exchange),
+            # then anti-joining the tiny hit set back — the batch side is
+            # small by definition; the base side never shuffles. (In
+            # capture mode the supersede logic above IS the idempotency
+            # rule: a re-delivered capture ties its own base row and
+            # loses, and a same-url re-CRAWL legitimately replaces it.)
+            url_hits = base_prepared.select("url").join(
+                F.broadcast(inc.select("url").distinct()), "url", "leftsemi"
+            )
+            inc = inc.join(F.broadcast(url_hits), "url", "leftanti")
         # uid uniqueness must hold across base ∪ batch: within-batch
         # collisions were rescued inside prepare_stage; cross-base ones
         # re-key here. Same pattern: narrow base uid scan vs broadcast
@@ -444,9 +615,60 @@ def run_dedup_incremental(
             .withColumn("status", F.lit("confirmed"))
             .withColumn("decided_by", F.lit("exact"))
         )
-        return exact.select(*PAIR_COLUMNS).unionByName(
+        out = exact.select(*PAIR_COLUMNS).unionByName(
             named.select(*PAIR_COLUMNS)
         )
+        if cfg.capture_dedup:
+            # Re-attribute stored evidence that named a superseded doc:
+            # (dead, x) rewrites to (repl, x) — identical text, so every
+            # score/status carries over verbatim; pairs whose dead side
+            # has no surviving same-sha doc die with it; rewrites that
+            # collapse both ends onto one doc become self-loops and drop.
+            # Committing the rewritten rows here keeps the evidence
+            # readable by future generations after the tombstone filter
+            # hides the originals. One narrow scan of the base pair
+            # table against the broadcast (batch-scale) rewrite map.
+            rm = rewrite_map.select("dead_url", "repl_url")
+            pa = base_pairs.join(
+                F.broadcast(
+                    rm.select(
+                        F.col("dead_url").alias("url_a"),
+                        F.col("repl_url").alias("_ra"),
+                        F.lit(True).alias("_da"),
+                    )
+                ),
+                "url_a",
+                "left",
+            )
+            pab = pa.join(
+                F.broadcast(
+                    rm.select(
+                        F.col("dead_url").alias("url_b"),
+                        F.col("repl_url").alias("_rb"),
+                        F.lit(True).alias("_db"),
+                    )
+                ),
+                "url_b",
+                "left",
+            )
+            touched = pab.filter(
+                F.col("_da").isNotNull() | F.col("_db").isNotNull()
+            )
+            ok = touched.filter(
+                (F.col("_da").isNull() | F.col("_ra").isNotNull())
+                & (F.col("_db").isNull() | F.col("_rb").isNotNull())
+            )
+            rewritten = (
+                ok.withColumn("_na", F.coalesce("_ra", F.col("url_a")))
+                .withColumn("_nb", F.coalesce("_rb", F.col("url_b")))
+                .filter(F.col("_na") != F.col("_nb"))
+                .withColumn("url_a", F.least("_na", "_nb"))
+                .withColumn("url_b", F.greatest("_na", "_nb"))
+                .select(*PAIR_COLUMNS)
+                .dropDuplicates(PAIR_COLUMNS)
+            )
+            out = out.unionByName(rewritten)
+        return out
 
     dup_pairs = commit("dup_pairs", build_pairs, ("verified", "spans", "exact_pairs"))
     review_pairs = dup_pairs.filter(F.col("status") == "flagged")
@@ -456,18 +678,72 @@ def run_dedup_incremental(
         edges = dup_pairs.filter(F.col("status") == "confirmed").select(
             "url_a", "url_b"
         )
+        # Capture repair: any base cluster that lost a member to a
+        # tombstone re-enters connected components at MEMBER level — its
+        # old label may be the dead doc's url, and removing a bridge doc
+        # can legitimately SPLIT it — with its surviving internal
+        # evidence. Edges incident to the dead doc arrive as the
+        # REWRITTEN rows already in dup_pairs; the untouched live-live
+        # edges are pulled from the base pair table here (one narrow
+        # scan against the blast-radius member set).
+        dead_clusters = live_members = None
+        if cfg.capture_dedup:
+            dead_urls_df = tombstones.select("url")
+            dead_clusters = (
+                base_assign.join(F.broadcast(dead_urls_df), "url", "leftsemi")
+                .select("cluster_id")
+                .distinct()
+            )
+            dead_members = base_assign.join(
+                F.broadcast(dead_clusters), "cluster_id", "leftsemi"
+            )
+            live_members = dead_members.join(
+                F.broadcast(dead_urls_df), "url", "leftanti"
+            ).localCheckpoint(eager=False)
+            internal = (
+                base_pairs.filter(F.col("status") == "confirmed")
+                .select("url_a", "url_b")
+                # confirmed edges never cross clusters, so membership of
+                # one endpoint implies the pair belongs to the cluster
+                .join(
+                    live_members.select(F.col("url").alias("url_a")),
+                    "url_a",
+                    "leftsemi",
+                )
+                .join(
+                    F.broadcast(
+                        dead_urls_df.select(F.col("url").alias("url_a"))
+                    ),
+                    "url_a",
+                    "leftanti",
+                )
+                .join(
+                    F.broadcast(
+                        dead_urls_df.select(F.col("url").alias("url_b"))
+                    ),
+                    "url_b",
+                    "leftanti",
+                )
+            )
+            edges = edges.unionByName(internal)
         # contract base clusters to their cluster_id supernode (the label
         # IS the cluster's min url, so min-label CC composes globally).
         # Only urls that appear in a new edge need their supernode lookup:
         # prune the assignment map to the (tiny) edge-url set first, then
         # broadcast it into the left joins — the base assignment table is
-        # scanned narrowly, never shuffled.
+        # scanned narrowly, never shuffled. Dead-touched clusters are
+        # EXCLUDED from contraction (their members stay member-level).
         edge_urls = (
             edges.select(F.col("url_a").alias("url"))
             .unionByName(edges.select(F.col("url_b").alias("url")))
             .distinct()
         )
-        node_of = base_assign.select(
+        node_src = base_assign.select("url", "cluster_id")
+        if cfg.capture_dedup:
+            node_src = node_src.join(
+                F.broadcast(dead_clusters), "cluster_id", "leftanti"
+            )
+        node_of = node_src.select(
             "url", F.col("cluster_id").alias("node")
         ).join(F.broadcast(edge_urls), "url", "leftsemi")
         contracted = (
@@ -496,13 +772,19 @@ def run_dedup_incremental(
             .filter(F.col("url_a") != F.col("url_b"))
         )
         merged = connected_components(contracted, cfg.max_cc_iterations)
-        # merged: (url=supernode-or-new-url, cluster_id=new label)
+        # merged: (url=supernode-or-member-or-new-url, cluster_id=label)
 
-        # members of every affected cluster, with n_chars for the A1 rule.
-        # ``merged`` is batch-scale: broadcast it against the base tables.
+        # members of every affected SUPERNODE cluster, with n_chars for
+        # the A1 rule. The label map is restricted to actual supernode
+        # ids (node_of's node values — batch-scale by construction), so
+        # the broadcast stays safe even when capture repair makes
+        # ``merged`` blast-radius-sized, and a member url that happens to
+        # EQUAL a dead cluster's id can never re-import that cluster.
+        super_ids = node_of.select(F.col("node").alias("url")).distinct()
+        label_map = merged.join(F.broadcast(super_ids), "url", "leftsemi")
         affected_base = base_assign.join(
             F.broadcast(
-                merged.select(
+                label_map.select(
                     F.col("url").alias("cluster_id"),
                     F.col("cluster_id").alias("_label"),
                 )
@@ -520,13 +802,13 @@ def run_dedup_incremental(
             "url", F.col("_label").alias("cluster_id"), "n_chars",
             "prev_cluster_id",
         )
+        label_all = merged.withColumnRenamed("cluster_id", "_label")
+        # capture repair makes ``merged`` blast-radius-sized; drop the
+        # broadcast hint there and let AQE size the join
+        lbl = label_all if cfg.capture_dedup else F.broadcast(label_all)
         new_members = (
             docs.select("url", "n_chars")
-            .join(
-                F.broadcast(merged.withColumnRenamed("cluster_id", "_label")),
-                "url",
-                "left",
-            )
+            .join(lbl, "url", "left")
             .select(
                 "url",
                 F.coalesce("_label", F.col("url")).alias("cluster_id"),
@@ -535,11 +817,32 @@ def run_dedup_incremental(
             )
         )
         affected = base_members.unionByName(new_members)
+        if cfg.capture_dedup:
+            # surviving members of repaired clusters: CC label when they
+            # kept an edge, singleton (their own url) otherwise — and an
+            # edgeless survivor is still a delta row (its old cluster id
+            # is being dropped). Dead docs themselves become DELETION
+            # rows: cluster_id NULL, prev_cluster_id = the cluster to
+            # drop — the MERGE INTO delete half with nothing re-inserted.
+            dead_rows = (
+                live_members.select(
+                    "url", F.col("cluster_id").alias("prev_cluster_id")
+                )
+                .join(label_all, "url", "left")
+                .join(base_prepared.select("url", "n_chars"), "url")
+                .select(
+                    "url",
+                    F.coalesce("_label", F.col("url")).alias("cluster_id"),
+                    "n_chars",
+                    "prev_cluster_id",
+                )
+            )
+            affected = affected.unionByName(dead_rows)
         w = Window.partitionBy("cluster_id").orderBy(
             F.desc("n_chars"), F.asc("url")
         )
         wsize = Window.partitionBy("cluster_id")
-        return (
+        out = (
             affected.withColumn("canonical_url", F.first("url").over(w))
             .withColumn("cluster_size", F.count("*").over(wsize))
             .select(
@@ -547,6 +850,23 @@ def run_dedup_incremental(
                 "prev_cluster_id",
             )
         )
+        if cfg.capture_dedup:
+            prev_hits = base_assign.join(
+                F.broadcast(tombstones.select("url")), "url", "leftsemi"
+            ).select("url", F.col("cluster_id").alias("prev_cluster_id"))
+            tomb_rows = (
+                tombstones.select("url")
+                .join(F.broadcast(prev_hits), "url", "left")
+                .select(
+                    "url",
+                    F.lit(None).cast("string").alias("cluster_id"),
+                    F.lit(None).cast("string").alias("canonical_url"),
+                    F.lit(None).cast("long").alias("cluster_size"),
+                    "prev_cluster_id",
+                )
+            )
+            out = out.unionByName(tomb_rows)
+        return out
 
     # The per-generation WRITE: every member of every touched cluster plus
     # all new docs — O(batch blast radius), never O(corpus). prev_cluster_id
@@ -571,7 +891,9 @@ def run_dedup_incremental(
             F.broadcast(touched), "cluster_id", "leftanti"
         ).select("url", "cluster_id", "canonical_url", "cluster_size")
         return untouched.unionByName(
-            assignments_delta.select(
+            # deletion rows (cluster_id NULL — capture tombstones) drop
+            # their prev cluster via ``touched`` and re-insert nothing
+            assignments_delta.filter(F.col("cluster_id").isNotNull()).select(
                 "url", "cluster_id", "canonical_url", "cluster_size"
             )
         )

@@ -305,6 +305,23 @@ def run_dedup(
     prepared = commit(
         "prepared", lambda: prepare_stage(pages, cfg, n_partitions), ("pages",)
     )
+    if cfg.capture_dedup and "warc_ts" in pages.columns and store is not None:
+        # Capture snapshot: (canonical_url, url, warc_ts) of every
+        # surviving winner — the state an APPEND batch compares its own
+        # captures against (incremental.py supersede logic). Derived
+        # directly from the raw pages (one max_by groupBy; a real
+        # deployment shares the winner computation with prepare_stage at
+        # the Iceberg seam instead of re-aggregating).
+        from sift_kg_spark.functions.urls import canonicalize, latest_captures
+
+        store.stage(
+            "captures",
+            lambda: canonicalize(latest_captures(pages)).select(
+                "canonical_url", "url", "warc_ts"
+            ),
+            inputs=("pages",),
+            resume=resume,
+        )
     docs = prepared.filter(F.col("reason").isNull()).drop("reason")
     quarantine = prepared.filter(F.col("reason").isNotNull()).select(
         "url", "lang", "reason"

@@ -148,7 +148,9 @@ def _apply_assignments_delta(combined: DataFrame, delta: DataFrame) -> DataFrame
     )
     untouched = combined.join(F.broadcast(touched), "cluster_id", "leftanti")
     return untouched.select(*_ASSIGN_COLS).unionByName(
-        delta.select(*_ASSIGN_COLS)
+        # deletion rows (cluster_id NULL — capture tombstones) drop their
+        # prev cluster via ``touched`` and re-insert nothing
+        delta.filter(F.col("cluster_id").isNotNull()).select(*_ASSIGN_COLS)
     )
 
 
@@ -197,6 +199,18 @@ def _assignments_through(
     return combined
 
 
+def _gen_paths(
+    workdir: str, cg: int | None, live: list[int], name: str
+) -> list[str]:
+    paths = []
+    if cg is not None:
+        paths.append(os.path.join(_compact_dir(workdir, cg), f"{name}.parquet"))
+    paths.extend(
+        os.path.join(_gen_dir(workdir, g), f"{name}.parquet") for g in live
+    )
+    return paths
+
+
 def _base_tables(spark: SparkSession, workdir: str, upto_gen: int) -> dict:
     """Assemble the accumulated base state for generation ``upto_gen + 1``.
 
@@ -207,23 +221,144 @@ def _base_tables(spark: SparkSession, workdir: str, upto_gen: int) -> dict:
     ever rewrites the combined table (the O(corpus)-per-batch cost the r3
     verdict flagged); only compaction does, amortized to
     O(corpus / compact_every).
+
+    Capture-mode state (presence-driven — the files exist iff the stream
+    runs with ``capture_dedup``): per-generation TOMBSTONES (docs a later
+    capture superseded) filter prepared/features/keys lazily — broadcast
+    anti-joins over a batch-scale set, applied physically only by
+    compaction; re-homed feature/key rows union in; the ``captures``
+    winner snapshot and the accumulated ``dup_pairs`` evidence (both
+    tombstone-filtered) join the dict so the incremental engine can run
+    its supersede + cluster-repair logic.
     """
     cg, live = base_sources(workdir, upto_gen)
-    tables: dict[str, DataFrame] = {}
-    for name in _BASE_STAGE_TABLES:
-        paths = []
+
+    # Tombstones are GENERATION-SCOPED: a tombstone from generation g
+    # targets docs committed by generations < g. A re-crawl re-adds the
+    # SAME url (hence the same doc_uid) in the generation that issued the
+    # tombstone, so filtering globally would kill the fresh rows too —
+    # each source is filtered only by tombstones from LATER generations.
+    tomb_by_gen = {}
+    for g in live:
+        p = os.path.join(_gen_dir(workdir, g), "tombstones.parquet")
+        if os.path.exists(p):
+            tomb_by_gen[g] = spark.read.parquet(p)
+    any_tombs = bool(tomb_by_gen)
+
+    def _tombs_after(gen: int) -> DataFrame | None:
+        dfs = [df for g, df in tomb_by_gen.items() if g > gen]
+        return _union_all(dfs) if dfs else None
+
+    def _scoped(name: str, key: str, paths_of) -> DataFrame | None:
+        """Union the compact + live snapshots of ``name``, each anti-joined
+        against the tombstones of strictly later generations on ``key``.
+        The compact snapshot covers generations <= cg, so every live
+        tombstone applies to it."""
+        parts = []
         if cg is not None:
-            paths.append(os.path.join(_compact_dir(workdir, cg), f"{name}.parquet"))
-        paths.extend(
-            os.path.join(_gen_dir(workdir, g), f"{name}.parquet") for g in live
-        )
-        if not all(os.path.exists(p) for p in paths):
+            for p in paths_of(None, cg):
+                if not os.path.exists(p):
+                    return None
+                df = spark.read.parquet(p)
+                t = _tombs_after(cg)
+                if t is not None:
+                    df = df.join(F.broadcast(t.select(key)), key, "leftanti")
+                parts.append(df)
+        for g in live:
+            for p in paths_of(g, None):
+                if not os.path.exists(p):
+                    return None
+                df = spark.read.parquet(p)
+                t = _tombs_after(g)
+                if t is not None:
+                    df = df.join(F.broadcast(t.select(key)), key, "leftanti")
+                parts.append(df)
+        return _union_all(parts) if parts else None
+
+    def _paths_for(name: str):
+        def paths_of(g: int | None, compact_g: int | None) -> list[str]:
+            if compact_g is not None:
+                return [
+                    os.path.join(_compact_dir(workdir, compact_g), f"{name}.parquet")
+                ]
+            return [os.path.join(_gen_dir(workdir, g), f"{name}.parquet")]
+
+        return paths_of
+
+    tables: dict[str, DataFrame] = {}
+    for name, key in (
+        ("prepared", "url"),
+        ("features", "doc_uid"),
+        ("keys", "doc_uid"),
+    ):
+        df = _scoped(name, key, _paths_for(name))
+        if df is None:
             # legacy state written before this stage existed: omit the
             # table and let run_dedup_incremental's documented fallback
             # derive it (keys: re-exploded from features) instead of
             # failing on a raw parquet path-not-found (r3 ADVICE)
             continue
-        tables[name] = _union_all([spark.read.parquet(p) for p in paths])
+        if name in ("features", "keys"):
+            # re-homed rows (capture repair) live only in gen dirs; a
+            # re-homed doc that later dies is filtered by its own later
+            # tombstone like any other row
+            extra = []
+            for g in live:
+                p = os.path.join(
+                    _gen_dir(workdir, g), f"{name}_rehomed.parquet"
+                )
+                if os.path.exists(p):
+                    rdf = spark.read.parquet(p)
+                    t = _tombs_after(g)
+                    if t is not None:
+                        rdf = rdf.join(
+                            F.broadcast(t.select("doc_uid")),
+                            "doc_uid",
+                            "leftanti",
+                        )
+                    extra.append(rdf)
+            if extra:
+                df = df.unionByName(_union_all(extra))
+        tables[name] = df
+
+    cap_present = any(
+        os.path.exists(p) for p in _gen_paths(workdir, cg, live, "captures")
+    )
+    if cap_present:
+        caps = _scoped("captures", "url", _paths_for("captures"))
+        if caps is not None:
+            tables["captures"] = caps
+        # pair evidence: a pair dies when EITHER endpoint is tombstoned
+        # by a later generation (the issuing generation committed the
+        # rewritten replacements alongside)
+        parts = []
+        for gen_key, path in (
+            [(cg, os.path.join(_compact_dir(workdir, cg), "dup_pairs.parquet"))]
+            if cg is not None
+            else []
+        ) + [
+            (g, os.path.join(_gen_dir(workdir, g), "dup_pairs.parquet"))
+            for g in live
+        ]:
+            if not os.path.exists(path):
+                continue
+            df = spark.read.parquet(path)
+            t = _tombs_after(gen_key) if any_tombs else None
+            if t is not None:
+                t_urls = t.select("url")
+                df = df.join(
+                    F.broadcast(t_urls.withColumnRenamed("url", "url_a")),
+                    "url_a",
+                    "leftanti",
+                ).join(
+                    F.broadcast(t_urls.withColumnRenamed("url", "url_b")),
+                    "url_b",
+                    "leftanti",
+                )
+            parts.append(df)
+        if parts:
+            tables["dup_pairs"] = _union_all(parts)
+
     tables["assignments"] = _assignments_through(spark, workdir, upto_gen)
     return tables
 
@@ -232,29 +367,19 @@ def _compact(spark: SparkSession, workdir: str, upto_gen: int) -> None:
     """Rewrite the base-table unions through ``upto_gen`` into one
     consolidated snapshot. Written FULLY before the pointer flips, so a
     crash mid-compaction leaves the previous (still valid) sources live
-    and the half-written dir is simply overwritten next time."""
+    and the half-written dir is simply overwritten next time.
+
+    The snapshot is exactly the assembled base view: tombstones applied
+    physically, re-homed rows folded in, assignment deltas folded into
+    one combined table — the rewrite_data_files-shaped maintenance job
+    at the Iceberg seam. Per-batch writes stay O(touched clusters);
+    tombstone accumulation restarts at zero here.
+    """
     out = _compact_dir(workdir, upto_gen)
-    cg, live = base_sources(workdir, upto_gen - 1) if upto_gen > 0 else (None, [])
-    for name in _BASE_STAGE_TABLES:
-        paths = []
-        if cg is not None:
-            paths.append(os.path.join(_compact_dir(workdir, cg), f"{name}.parquet"))
-        paths.extend(
-            os.path.join(_gen_dir(workdir, g), f"{name}.parquet") for g in live
+    for name, df in _base_tables(spark, workdir, upto_gen).items():
+        df.write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
         )
-        paths.append(os.path.join(_gen_dir(workdir, upto_gen), f"{name}.parquet"))
-        paths = [p for p in paths if os.path.exists(p)]  # legacy gens may lack it
-        if paths:
-            _union_all([spark.read.parquet(p) for p in paths]).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(out, f"{name}.parquet"))
-    # assignments: fold the per-generation deltas into one combined table —
-    # the carried-forward base every post-compaction batch merges against.
-    # This is the rewrite_data_files-shaped maintenance job at the Iceberg
-    # seam; per-batch writes stay O(touched clusters).
-    _assignments_through(spark, workdir, upto_gen).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out, "assignments.parquet"))
 
 
 def process_batch(
@@ -335,16 +460,18 @@ def stream_dedup(
     directory and stops (batch-style backfill, also what tests use);
     ``False`` runs continuously with the default micro-batch trigger.
     """
-    if cfg.span_dedup or cfg.capture_dedup:
+    if cfg.span_dedup:
         # fail BEFORE the query starts: generation 0 (a full run) would
-        # accept these corpus-stateful tiers and generation 1+ (the
-        # incremental path) would then refuse them mid-stream, leaving a
+        # accept this corpus-stateful tier and generation 1+ (the
+        # incremental path) would then refuse it mid-stream, leaving a
         # half-built state dir. Same contract as run_dedup_incremental.
+        # (capture_dedup IS streamable: the supersede/tombstone machinery
+        # in incremental.py keeps combined == full per batch.)
         raise ValueError(
-            "span_dedup/capture_dedup are corpus-stateful prepare tiers "
-            "and are not supported in streaming mode (the incremental "
-            "path cannot apply them batch-locally without diverging "
-            "from the full-run contract)."
+            "span_dedup is a corpus-stateful prepare tier and is not "
+            "supported in streaming mode (the incremental path cannot "
+            "apply it batch-locally without diverging from the full-run "
+            "contract). See docs/ICEBERG.md §6 for the design sketch."
         )
     os.makedirs(workdir, exist_ok=True)
     stream = (

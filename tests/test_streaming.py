@@ -237,3 +237,114 @@ def test_stream_rejects_corpus_stateful_tiers(spark, tmp_path_factory):
             os.path.join(str(wd), "state"),
             DedupConfig(span_dedup=True),
         )
+
+
+# --------------------------------------------------------------------------
+# capture tier across generations: supersession + tombstones + compaction
+# --------------------------------------------------------------------------
+
+def _cts(day: int):
+    import datetime
+
+    return datetime.datetime(2024, 2, day)
+
+
+def _cwords(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i:03d}" for i in range(n))
+
+
+def _cpages(spark, rows):
+    return spark.createDataFrame(
+        [(u, _cts(d), None, t, "en") for u, d, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def test_stream_capture_generations_match_full_run(spark, tmp_path_factory):
+    """capture_dedup across streaming generations: gen1 supersedes gen0
+    docs (one of them an exact-family rep), compaction folds the
+    tombstones physically between gen1 and gen2, gen2 then supersedes a
+    COMPACTED doc and a doc introduced by gen1 — and the final state
+    equals a full capture-mode run over every raw capture ever landed."""
+    from sift_kg_spark import DedupConfig
+    from sift_kg_spark.streaming import process_batch
+
+    # approve_jaccard=0.4 so the x-bridge-y containment chain (J≈0.42
+    # each side) is CONFIRMED in the pre-state — the gen2 split is then a
+    # real repair, not a vacuous assertion over never-linked docs
+    ccfg = DedupConfig(
+        min_text_chars=10, capture_dedup=True, approve_jaccard=0.4
+    )
+
+    a_run = _cwords("arun", 30)
+    b_run = _cwords("brun", 30)
+    gen0 = [
+        ("http://s.com/a1", 1, _cwords("scontent", 40)),
+        ("http://s.com/a2", 1, _cwords("scontent", 40)),   # exact twin
+        ("http://s.com/b?utm_source=z", 1, _cwords("tcontent", 25)),
+        ("http://s.com/x", 1, a_run + " " + _cwords("xf", 6)),
+        ("http://s.com/bridge", 1, a_run + " " + b_run),
+        ("http://s.com/y", 1, b_run + " " + _cwords("yf", 6)),
+        ("http://s.com/f", 1, _cwords("ucontent", 25)),
+    ]
+    gen1 = [
+        # supersede the exact family's min member (rep + label)
+        ("http://s.com/a1", 2, _cwords("freshcontent", 25)),
+        # clean-spelling re-crawl of b, later ts
+        ("http://s.com/b", 2, _cwords("freshtcontent", 25)),
+        ("http://s.com/n1", 2, _cwords("vcontent", 25)),
+    ]
+    gen2 = [
+        # supersede a COMPACTED doc (the containment bridge -> split)
+        ("http://s.com/bridge", 3, _cwords("freshbridge", 25)),
+        # supersede the doc gen1 itself introduced
+        ("http://s.com/n1", 3, _cwords("freshvcontent", 25)),
+        ("http://s.com/n2", 3, _cwords("wcontent", 25)),
+        # stale re-delivery of f: loses to the gen0 capture? no — same ts
+        # ties and drops (idempotency under at-least-once delivery)
+        ("http://s.com/f", 1, _cwords("ucontent", 25)),
+    ]
+
+    wd = tmp_path_factory.mktemp("stream_cap")
+    state = os.path.join(str(wd), "state")
+    for i, rows in enumerate([gen0, gen1, gen2]):
+        process_batch(
+            spark, _cpages(spark, rows), state, ccfg, batch_id=i,
+            compact_every=2,
+        )
+
+    full = run_dedup(
+        spark,
+        _cpages(spark, gen0 + gen1 + gen2),
+        ccfg,
+        workdir=os.path.join(str(wd), "full"),
+    )
+    want = _amap(full.assignments)
+    got = _amap(read_assignments(spark, state))
+    assert set(got) == set(want)
+    mism = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
+    assert not mism, f"{len(mism)} mismatches: {list(mism.items())[:5]}"
+
+    # compaction happened at gen1 and physically dropped gen1's tombstones
+    compacted = spark.read.parquet(
+        os.path.join(state, "compact=1", "prepared.parquet")
+    )
+    assert compacted.filter(
+        (F.col("url") == "http://s.com/a1")
+        | (F.col("url") == "http://s.com/b?utm_source=z")
+    ).count() == 1, "compacted base must hold only the surviving a1 capture"
+
+    # gen2's delta carries DELETION rows for what it superseded
+    delta2 = spark.read.parquet(
+        os.path.join(state, "gen=2", "assignments_delta.parquet")
+    )
+    dels = {
+        r["url"]
+        for r in delta2.filter(F.col("cluster_id").isNull()).collect()
+    }
+    assert dels == {"http://s.com/bridge", "http://s.com/n1"}
+
+    # the bridge's death split x and y (repair across the compacted base)
+    assert got["http://s.com/x"][0] != got["http://s.com/y"][0]
+    # exact twin survived its rep: singleton now
+    assert got["http://s.com/a2"][0] == "http://s.com/a2"

@@ -1350,6 +1350,150 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_incremental_capture"] = dedup_incremental_capture
 
+    def dedup_incremental_span(spark, sf):
+        # Span tier in incremental mode (r4 VERDICT item 2): the base
+        # corpus is the documents table plus TWO planted carriers of a
+        # 40-token boilerplate run (their only shared text — a confirmed
+        # near-dup cluster) and one synthetic family-"a" doc per planted
+        # doc_id. The batch lands the THIRD boilerplate carrier —
+        # crossing span_dedup_min_docs=3, so the base carriers re-clean
+        # (tombstone + re-enter) and their glue cluster must SPLIT — plus
+        # a one-token-edited family-"b" near-dup per planted doc_id that
+        # must co-cluster with its base "a" through the append path.
+        # Synthetic family tokens embed the doc_id, so no chunk is shared
+        # across families or with the natural corpus: the only crossing
+        # is the planted one, and the natural corpus's own span cleaning
+        # is identical in base and full runs. Invariant: the incremental
+        # COMBINED assignments equal a full span-mode run, row for row.
+        import tempfile
+
+        from sift_kg_spark.config import DedupConfig
+        from sift_kg_spark.incremental import run_dedup_incremental
+        from sift_kg_spark.pipeline import run_dedup
+
+        cfg = DedupConfig(
+            min_text_chars=10,
+            span_dedup=True,
+            span_dedup_chunk_tokens=4,
+            span_dedup_min_docs=3,
+            approve_jaccard=0.4,
+        )
+        bp = " ".join(f"spanglue{i:03d}" for i in range(40))
+
+        def _syn(rows):
+            return spark.createDataFrame(
+                [(u, None, t, "en") for u, t in rows],
+                "url string, html binary, text string, lang string",
+            )
+
+        fill = lambda p, n: " ".join(f"{p}{i:03d}" for i in range(n))
+        carriers = _syn(
+            [
+                ("span://base/1", bp + " " + fill("afill", 8)),
+                ("span://base/2", bp + " " + fill("bfill", 8)),
+            ]
+        )
+        d = _t(spark, sf, "documents")
+        planted = d.filter(
+            (F.col("doc_id") % 19 == 4) & (F.col("n_chars") >= 200)
+        )
+        fam_text = F.expr(
+            "concat_ws(' ', transform(sequence(0, 29),"
+            " i -> concat('fam', doc_id, 'w', i)))"
+        )
+        fam_edit = F.expr(
+            "concat_ws(' ', transform(sequence(0, 29),"
+            " i -> IF(i = 2, 'zqx9', concat('fam', doc_id, 'w', i))))"
+        )
+        fam_a = planted.select(
+            F.format_string("span://fam/%06d/a", F.col("doc_id")).alias("url"),
+            F.lit(None).cast("binary").alias("html"),
+            fam_text.alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        fam_b = planted.select(
+            F.format_string("span://fam/%06d/b", F.col("doc_id")).alias("url"),
+            F.lit(None).cast("binary").alias("html"),
+            fam_edit.alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        base_pages = (
+            _docs_as_pages(spark, sf)
+            .drop("warc_ts")
+            .unionByName(carriers)
+            .unionByName(fam_a)
+        )
+        batch = _syn(
+            [("span://batch/1", bp + " " + fill("nfill", 8))]
+        ).unionByName(fam_b)
+
+        base_wd = tempfile.mkdtemp(prefix="skg_spanq_base_")
+        run_dedup(spark, base_pages, cfg, workdir=base_wd)
+        inc = run_dedup_incremental(spark, batch, cfg, base_workdir=base_wd)
+        full = run_dedup(spark, base_pages.unionByName(batch), cfg)
+
+        fa = full.assignments.select(
+            "url",
+            F.col("cluster_id").alias("f_cl"),
+            F.col("canonical_url").alias("f_ca"),
+            F.col("cluster_size").alias("f_sz"),
+        )
+        ia = inc.assignments.select(
+            "url",
+            F.col("cluster_id").alias("i_cl"),
+            F.col("canonical_url").alias("i_ca"),
+            F.col("cluster_size").alias("i_sz"),
+        )
+        j = fa.join(ia, "url", "full_outer")
+        bad = (
+            F.col("f_cl").isNull()
+            | F.col("i_cl").isNull()
+            | (F.col("f_cl") != F.col("i_cl"))
+            | (F.col("f_ca") != F.col("i_ca"))
+            | (F.col("f_sz") != F.col("i_sz"))
+        )
+        # global flags: no row mismatch, and the crossing actually split
+        # the glue-only carrier cluster in the incremental result
+        carrier_cl = ia.filter(
+            F.col("url").isin("span://base/1", "span://base/2")
+        ).agg(
+            (F.countDistinct("i_cl") == 2).cast("int").alias("_split_ok")
+        )
+        global_bad = j.select(
+            F.max(F.when(bad, 1).otherwise(0)).alias("_any_bad")
+        ).crossJoin(F.broadcast(carrier_cl))
+        # per planted doc: its base family-"a" co-clusters with the
+        # batch family-"b" near-dup
+        pl = planted.select(
+            "doc_id",
+            F.format_string("span://fam/%06d/a", F.col("doc_id")).alias(
+                "url_o"
+            ),
+            F.format_string("span://fam/%06d/b", F.col("doc_id")).alias(
+                "url_c"
+            ),
+        )
+        io_ = ia.select(F.col("url").alias("url_o"), F.col("i_cl").alias("cl_o"))
+        ic = ia.select(F.col("url").alias("url_c"), F.col("i_cl").alias("cl_c"))
+        per = (
+            pl.join(io_, "url_o")
+            .join(ic, "url_c")
+            .select(
+                "doc_id",
+                (F.col("cl_o") == F.col("cl_c")).cast("int").alias("_co"),
+            )
+        )
+        return per.crossJoin(F.broadcast(global_bad)).select(
+            "doc_id",
+            (
+                (F.col("_co") == 1)
+                & (F.col("_any_bad") == 0)
+                & (F.col("_split_ok") == 1)
+            ).cast("int").alias("combined_equals_full"),
+        )
+
+    q["dedup_incremental_span"] = dedup_incremental_span
+
     # ---- cluster-graph stats + exports (A8 / G3 / W3 / S12+X10) -----------
 
     def _block_assign(spark, sf):
@@ -2163,6 +2307,11 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_incremental_capture"] = """
         SELECT doc_id, 1 AS combined_equals_full
         FROM documents WHERE doc_id % 23 IN (5, 7) AND n_chars >= 200
+    """
+
+    o["dedup_incremental_span"] = """
+        SELECT doc_id, 1 AS combined_equals_full
+        FROM documents WHERE doc_id % 19 = 4 AND n_chars >= 200
     """
 
     o["cluster_pair_stats"] = """

@@ -61,9 +61,28 @@ the assignments delta carrying the MERGE INTO delete half. Cost stays
 O(batch + blast radius); combined == full is pinned by
 tests/test_incremental.py::TestIncrementalCaptureDedup across batch
 splits where re-crawls straddle the split.
+
+Span tier (``cfg.span_dedup``): chunk occurrence counts are MONOTONE
+under appends, so a chunk crosses ``span_dedup_min_docs`` at most once
+and carries < min_docs base docs when it does. The base run commits the
+storage switch (docs/ICEBERG.md §6.2): ``extracted`` (original text),
+``chunk_counts`` (every distinct chunk's count) and ``chunk_docs`` (the
+sub-threshold inverted index). An append batch counts its own chunks,
+probes the base counts narrowly (broadcast batch chunk set), cleans
+itself against the MERGED vocabulary, and re-cleans exactly the base
+carriers of newly-crossing chunks — those docs' text changes, so they
+ride the same tombstone machinery as superseded captures (old evidence
+re-attributed to an identical-text_norm survivor or recomputed) and
+re-enter the pipeline as batch docs. Per-generation writes are count
+DELTAS (batch-scale); the current count is a sum over base + deltas.
+capture_dedup + span_dedup together are refused: supersession replaces
+text, counts stop being monotone, and restoring a de-crossed chunk's
+spans would need a full O(corpus-tokens) inverted index (§6.3).
 """
 
 from __future__ import annotations
+
+from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -81,6 +100,7 @@ from sift_kg_spark.operators.verify import verify_pairs
 from sift_kg_spark.pipeline import (
     PAIR_COLUMNS,
     DedupResult,
+    prepare_docs,
     prepare_stage,
     run_context,
 )
@@ -168,28 +188,44 @@ def run_dedup_incremental(
     base ∪ delta, and the per-generation write volume is bounded by the
     batch's blast radius instead of the corpus.
     """
-    # span_dedup remains the one corpus-stateful prepare tier refused in
-    # incremental mode: chunk counts are corpus-global and a threshold
-    # crossing re-cleans (re-hashes, re-pairs) every doc carrying the
-    # chunk — see docs/ICEBERG.md §6 for the vocabulary-delta design and
-    # its cost analysis. capture_dedup IS supported (r4 verdict item 1):
+    # Both corpus-stateful prepare tiers now compose with appends — each
+    # on its own. capture_dedup (r4 verdict item 1):
     # keep-latest-per-canonical-URL is a monotone max_by fold over a
     # committed captures snapshot; superseded base docs become TOMBSTONES
-    # and their clusters are repaired from the stored pair evidence —
-    # everything below stays O(batch + blast radius).
-    # quality_gate is per-doc (no corpus state) and composes fine.
-    if cfg.span_dedup:
+    # and their clusters are repaired from the stored pair evidence.
+    # span_dedup (r4 verdict item 2): chunk counts are MONOTONE under
+    # appends (they only grow), so a chunk crosses span_dedup_min_docs at
+    # most once, carrying exactly < min_docs base docs when it does; the
+    # base run's committed (extracted, chunk_counts, chunk_docs) state —
+    # the storage switch named in docs/ICEBERG.md §6.2 — bounds the
+    # re-clean blast radius to O(batch chunks x min_docs). Re-cleaned
+    # base docs go through the SAME tombstone machinery: their text
+    # changed, so they re-enter the pipeline as batch docs and their old
+    # evidence is re-attributed to an identical-text survivor or dies.
+    # TOGETHER the tiers are refused: a supersession REPLACES text, so
+    # counts stop being monotone — a crossed chunk can fall back below
+    # min_docs, and re-adding its spans would need the carriers of an
+    # already-crossed chunk, i.e. a full O(corpus-tokens) inverted index
+    # instead of the sub-threshold index the span tier keeps
+    # (docs/ICEBERG.md §6.3). quality_gate is per-doc and composes fine.
+    if cfg.span_dedup and cfg.capture_dedup:
         raise ValueError(
-            "span_dedup is a corpus-stateful prepare tier and is not "
-            "supported in incremental mode: applying it per batch would "
-            "diverge from a full run over the combined corpus (chunk "
-            "occurrence counts are corpus-global). Run it in the full "
-            "(batch) pipeline, or disable it for incremental appends. "
-            "See docs/ICEBERG.md §6 for the incremental design sketch."
+            "span_dedup + capture_dedup cannot compose in incremental "
+            "mode: capture supersession replaces document text, so chunk "
+            "occurrence counts are no longer append-monotone — a "
+            "boilerplate chunk can de-cross min_docs, and restoring its "
+            "spans would require a full inverted index over every chunk "
+            "(O(corpus tokens) state) rather than the sub-threshold "
+            "index the span tier maintains. Run the combined tiers as a "
+            "batch rebuild, or append with one tier at a time. See "
+            "docs/ICEBERG.md §6.3."
         )
     base_keys: DataFrame | None = None
     base_captures: DataFrame | None = None
     base_pairs: DataFrame | None = None
+    base_extracted: DataFrame | None = None
+    base_chunk_counts: DataFrame | None = None
+    base_chunk_docs: DataFrame | None = None
     if base_tables is not None:
         base_prepared = base_tables["prepared"]
         base_features = base_tables["features"]
@@ -197,6 +233,9 @@ def run_dedup_incremental(
         base_keys = base_tables.get("keys")
         base_captures = base_tables.get("captures")
         base_pairs = base_tables.get("dup_pairs")
+        base_extracted = base_tables.get("extracted")
+        base_chunk_counts = base_tables.get("chunk_counts")
+        base_chunk_docs = base_tables.get("chunk_docs")
     else:
         if base_workdir is None:
             raise ValueError(
@@ -217,14 +256,35 @@ def run_dedup_incremental(
         if cfg.capture_dedup:
             if base.exists("captures"):
                 base_captures = base.read("captures")
+        if cfg.capture_dedup or cfg.span_dedup:
             if base.exists("dup_pairs"):
                 base_pairs = base.read("dup_pairs")
+        if cfg.span_dedup:
+            if base.exists("extracted"):
+                base_extracted = base.read("extracted")
+            if base.exists("chunk_counts"):
+                base_chunk_counts = base.read("chunk_counts")
+            if base.exists("chunk_docs"):
+                base_chunk_docs = base.read("chunk_docs")
     if cfg.capture_dedup and (base_captures is None or base_pairs is None):
         raise ValueError(
             "capture_dedup in incremental mode needs the base run's "
             "'captures' and 'dup_pairs' snapshots (a capture_dedup=True "
             "run_dedup with a workdir commits both); the supplied base "
             "lacks them"
+        )
+    if cfg.span_dedup and (
+        base_extracted is None
+        or base_chunk_counts is None
+        or base_chunk_docs is None
+        or base_pairs is None
+    ):
+        raise ValueError(
+            "span_dedup in incremental mode needs the base run's "
+            "'extracted', 'chunk_counts', 'chunk_docs' and 'dup_pairs' "
+            "snapshots — the span tier's storage switch (a "
+            "span_dedup=True run_dedup with a workdir commits all four; "
+            "see docs/ICEBERG.md §6.2); the supplied base lacks them"
         )
     check_base_features_schema(base_features)
     if base_keys is None:
@@ -259,20 +319,23 @@ def run_dedup_incremental(
     n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     group_cols = ["sha", "lang"] if cfg.partition_by_lang else ["sha"]
 
-    # ---- 0. capture tier: supersede decisions + tombstones -----------------
-    # keep-latest-per-canonical-URL against the committed captures
-    # snapshot. A batch capture SURVIVES iff its (warc_ts, url) total
-    # order beats the base winner for its canonical URL (ties lose —
-    # re-delivered identical captures drop out, the idempotency rule of
-    # this tier). A base winner it beats becomes a TOMBSTONE: its
-    # prepared/features/keys rows leave every base view below, its pairs
-    # are rewritten onto a surviving same-(sha,lang) doc (identical text
-    # => identical evidence) or dropped, and its cluster is repaired at
-    # member level in the delta builder. Everything here is batch-scale
-    # probes against narrow base scans — no base-side shuffle.
+    # ---- 0. corpus-stateful tiers: supersede/re-clean decisions ------------
+    # Each active tier computes (a) the EFFECTIVE batch (surviving
+    # captures, or span-cleaned batch ∪ re-cleaned base docs) and (b) the
+    # base docs it kills (``dead_urls_src``); the shared tombstone
+    # machinery below then removes those docs from every base view,
+    # re-attributes their evidence to identical-text survivors, and
+    # repairs their clusters at member level. Everything here is
+    # batch-scale probes against narrow base scans — no base-side shuffle.
     tombstones: DataFrame | None = None
     rewrite_map: DataFrame | None = None
+    dead_urls_src: DataFrame | None = None
     if cfg.capture_dedup:
+        # keep-latest-per-canonical-URL against the committed captures
+        # snapshot. A batch capture SURVIVES iff its (warc_ts, url) total
+        # order beats the base winner for its canonical URL (ties lose —
+        # re-delivered identical captures drop out, the idempotency rule
+        # of this tier).
         from sift_kg_spark.functions.urls import canonicalize, latest_captures
 
         if "warc_ts" not in new_pages.columns:
@@ -303,14 +366,174 @@ def run_dedup_incremental(
             lambda: surviving.select("canonical_url", "url", "warc_ts"),
             ("pages",),
         )
+        dead_urls_src = surviving.filter(
+            F.col("_base_url").isNotNull()
+        ).select(F.col("_base_url").alias("url"))
 
-        def build_tombstones() -> DataFrame:
-            dead = surviving.filter(F.col("_base_url").isNotNull()).select(
-                F.col("_base_url").alias("url")
+        # the surviving batch rows ARE the effective batch; warc_ts is
+        # dropped so prepare_stage's own capture branch (batch-local
+        # latest_captures — already applied here) stays off.
+        page_cols = [c for c in new_pages.columns if c != "warc_ts"]
+        new_pages = surviving.select(*page_cols)
+    elif cfg.span_dedup:
+        # C4 span tier against the committed chunk state. Counts are
+        # append-MONOTONE, so a chunk crosses span_dedup_min_docs at most
+        # once; at crossing time its base carriers number < min_docs
+        # (they are read from the sub-threshold inverted index) and must
+        # be RE-CLEANED: their text changes, so they tombstone out of
+        # every base view and re-enter the pipeline as batch docs — the
+        # same life cycle as a superseded capture, minus nothing.
+        from sift_kg_spark.operators.linededup import (
+            chunk_segments,
+            clean_against,
+        )
+
+        min_docs = cfg.span_dedup_min_docs
+
+        def build_batch_ext() -> DataFrame:
+            # original extracted text of the batch (column pruning drops
+            # prepare_docs' normalize UDF — only url/lang/text are read),
+            # minus re-delivered urls: the base decision stands for them,
+            # and counting them again would double-count chunk carriers
+            # the base snapshot already counted.
+            ext = prepare_docs(new_pages, cfg).select("url", "lang", "text")
+            hits = base_prepared.select("url").join(
+                F.broadcast(ext.select("url").distinct()), "url", "leftsemi"
             )
+            return ext.join(F.broadcast(hits), "url", "leftanti")
+
+        # committed so chained generations count THIS batch's originals
+        # and re-clean them when a later crossing hits one
+        batch_ext = commit("extracted", build_batch_ext, ("pages",))
+        batch_chunks = chunk_segments(
+            batch_ext, "url", "text", cfg.span_dedup_chunk_tokens
+        )
+        # per-generation COUNT DELTA (chunk, n_docs) — batch-scale write;
+        # the current corpus count of a chunk is the SUM over the base
+        # snapshot + deltas, so readers aggregate after probing.
+        batch_counts = commit(
+            "chunk_counts",
+            lambda: batch_chunks.groupBy("chunk").agg(
+                F.countDistinct("url").alias("n_docs")
+            ),
+            ("extracted",),
+        )
+        probe = batch_counts.select("chunk").distinct()
+        base_n = (
+            base_chunk_counts.join(F.broadcast(probe), "chunk", "leftsemi")
+            .groupBy("chunk")
+            .agg(F.sum("n_docs").alias("base_n"))
+        )
+        merged = (
+            batch_counts.withColumnRenamed("n_docs", "batch_n")
+            .join(base_n, "chunk", "left")
+            .withColumn(
+                "total", F.col("batch_n") + F.coalesce("base_n", F.lit(0))
+            )
+            .localCheckpoint(eager=False)
+        )
+        # chunks crossing min_docs NOW with >= 1 base carrier. Index rows
+        # of chunks that crossed in an EARLIER generation are stale but
+        # harmless: their current base count is already >= min_docs, so
+        # base_n < min_docs excludes them here.
+        crossing = merged.filter(
+            (F.col("total") >= min_docs)
+            & F.col("base_n").isNotNull()
+            & (F.col("base_n") < min_docs)
+        ).select("chunk")
+        recleans = (
+            base_chunk_docs.join(F.broadcast(crossing), "chunk", "leftsemi")
+            .select("url")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # sub-threshold index ADDITIONS for the next increment: batch
+        # carriers of chunks still below min_docs after the merge
+        commit(
+            "chunk_docs",
+            lambda: batch_chunks.select("chunk", "url")
+            .distinct()
+            .join(
+                F.broadcast(
+                    merged.filter(F.col("total") < min_docs).select("chunk")
+                ),
+                "chunk",
+                "leftsemi",
+            ),
+            ("chunk_counts",),
+        )
+        # re-clean (batch ∪ crossing carriers) against the MERGED
+        # vocabulary: every chunk THEY carry whose corpus-wide count
+        # reaches min_docs. A re-cleaned doc's own chunks are already in
+        # the base counts (batch_counts covers batch urls only), so the
+        # sum never double-counts.
+        reclean_ext = base_extracted.join(
+            F.broadcast(recleans), "url", "leftsemi"
+        )
+        work_ext = batch_ext.unionByName(reclean_ext).localCheckpoint(
+            eager=False
+        )
+        work_chunks = chunk_segments(
+            work_ext, "url", "text", cfg.span_dedup_chunk_tokens
+        )
+        wprobe = work_chunks.select("chunk").distinct()
+        base_n_w = (
+            base_chunk_counts.join(F.broadcast(wprobe), "chunk", "leftsemi")
+            .groupBy("chunk")
+            .agg(F.sum("n_docs").alias("_bn"))
+        )
+        vocab = (
+            wprobe.join(base_n_w, "chunk", "left")
+            .join(
+                batch_counts.withColumnRenamed("n_docs", "_cn"),
+                "chunk",
+                "left",
+            )
+            .filter(
+                F.coalesce("_bn", F.lit(0)) + F.coalesce("_cn", F.lit(0))
+                >= min_docs
+            )
+            .select("chunk")
+        )
+        cleaned = clean_against(work_chunks, vocab, "url")
+        # null-text docs have no chunks (no ``cleaned`` row) and keep
+        # their null text -> extraction_failed quarantine, exactly as the
+        # full run's prepare; every non-null text has >= 1 chunk row.
+        work_pages = (
+            work_ext.join(
+                cleaned.select("url", F.col("clean_text").alias("_ct")),
+                "url",
+                "left",
+            )
+            .select(
+                "url",
+                F.lit(None).cast("binary").alias("html"),
+                F.when(
+                    F.col("text").isNotNull(), F.coalesce("_ct", F.lit(""))
+                )
+                .otherwise(F.lit(None).cast("string"))
+                .alias("text"),
+                "lang",
+            )
+        )
+        dead_urls_src = recleans
+        # the effective batch: span-cleaned batch docs ∪ re-cleaned base
+        # docs. Text is already extracted + cleaned, so prepare runs with
+        # the span tier off (build_prepared switches the flag).
+        new_pages = work_pages
+
+    if dead_urls_src is not None:
+        # ---- shared tombstone machinery (capture supersession OR span
+        # re-clean): the dead doc's prepared/features/keys rows leave
+        # every base view below via broadcast anti-joins (applied
+        # physically only at compaction), its pair evidence is rewritten
+        # onto a surviving same-(sha,lang) doc — identical text_norm, so
+        # scores carry verbatim — or dies with it, and its cluster is
+        # repaired at member level in the delta builder.
+        def build_tombstones() -> DataFrame:
             return base_prepared.select(
                 "url", "doc_uid", "sha", "lang", "reason"
-            ).join(F.broadcast(dead), "url", "leftsemi")
+            ).join(F.broadcast(dead_urls_src), "url", "leftsemi")
 
         tombstones = commit("tombstones", build_tombstones, ("pages",))
         tomb_urls = tombstones.select("url")
@@ -386,12 +609,6 @@ def run_dedup_incremental(
             F.broadcast(tomb_uids), "doc_uid", "leftanti"
         ).unionByName(keys_rehomed)
 
-        # the surviving batch rows ARE the effective batch; warc_ts is
-        # dropped so prepare_stage's own capture branch (batch-local
-        # latest_captures — already applied here) stays off.
-        page_cols = [c for c in new_pages.columns if c != "warc_ts"]
-        new_pages = surviving.select(*page_cols)
-
     base_docs = base_prepared.filter(F.col("reason").isNull())
 
     # ---- 1. prepare + base-collision rescue --------------------------------
@@ -399,7 +616,14 @@ def run_dedup_incremental(
         # checkpoint the extracted batch once: it feeds the main plan plus
         # two broadcast probe sets below, and the pandas-UDF extraction
         # chain should run once per batch, not once per reference.
-        inc = prepare_stage(new_pages, cfg, n_partitions).localCheckpoint(
+        # In span mode the text was already extracted AND cleaned against
+        # the merged vocabulary in section 0, so prepare runs with the
+        # span tier off — batch-local re-cleaning would diverge from the
+        # full-run contract.
+        prep_cfg = (
+            replace(cfg, span_dedup=False) if cfg.span_dedup else cfg
+        )
+        inc = prepare_stage(new_pages, prep_cfg, n_partitions).localCheckpoint(
             eager=False
         )
         if not cfg.capture_dedup:
@@ -411,7 +635,10 @@ def run_dedup_incremental(
             # small by definition; the base side never shuffles. (In
             # capture mode the supersede logic above IS the idempotency
             # rule: a re-delivered capture ties its own base row and
-            # loses, and a same-url re-CRAWL legitimately replaces it.)
+            # loses, and a same-url re-CRAWL legitimately replaces it.
+            # In span mode the batch was already redelivery-filtered in
+            # section 0; re-cleaned base docs pass here BECAUSE the base
+            # view is tombstone-filtered — their old rows are gone.)
             url_hits = base_prepared.select("url").join(
                 F.broadcast(inc.select("url").distinct()), "url", "leftsemi"
             )
@@ -618,8 +845,9 @@ def run_dedup_incremental(
         out = exact.select(*PAIR_COLUMNS).unionByName(
             named.select(*PAIR_COLUMNS)
         )
-        if cfg.capture_dedup:
-            # Re-attribute stored evidence that named a superseded doc:
+        if rewrite_map is not None:
+            # Re-attribute stored evidence that named a dead doc
+            # (superseded capture or span re-clean):
             # (dead, x) rewrites to (repl, x) — identical text, so every
             # score/status carries over verbatim; pairs whose dead side
             # has no surviving same-sha doc die with it; rewrites that
@@ -687,7 +915,7 @@ def run_dedup_incremental(
         # edges are pulled from the base pair table here (one narrow
         # scan against the blast-radius member set).
         dead_clusters = live_members = None
-        if cfg.capture_dedup:
+        if tombstones is not None:
             dead_urls_df = tombstones.select("url")
             dead_clusters = (
                 base_assign.join(F.broadcast(dead_urls_df), "url", "leftsemi")
@@ -739,7 +967,7 @@ def run_dedup_incremental(
             .distinct()
         )
         node_src = base_assign.select("url", "cluster_id")
-        if cfg.capture_dedup:
+        if tombstones is not None:
             node_src = node_src.join(
                 F.broadcast(dead_clusters), "cluster_id", "leftanti"
             )
@@ -805,7 +1033,7 @@ def run_dedup_incremental(
         label_all = merged.withColumnRenamed("cluster_id", "_label")
         # capture repair makes ``merged`` blast-radius-sized; drop the
         # broadcast hint there and let AQE size the join
-        lbl = label_all if cfg.capture_dedup else F.broadcast(label_all)
+        lbl = label_all if tombstones is not None else F.broadcast(label_all)
         new_members = (
             docs.select("url", "n_chars")
             .join(lbl, "url", "left")
@@ -817,7 +1045,7 @@ def run_dedup_incremental(
             )
         )
         affected = base_members.unionByName(new_members)
-        if cfg.capture_dedup:
+        if tombstones is not None:
             # surviving members of repaired clusters: CC label when they
             # kept an edge, singleton (their own url) otherwise — and an
             # edgeless survivor is still a delta row (its old cluster id
@@ -850,7 +1078,7 @@ def run_dedup_incremental(
                 "prev_cluster_id",
             )
         )
-        if cfg.capture_dedup:
+        if tombstones is not None:
             prev_hits = base_assign.join(
                 F.broadcast(tombstones.select("url")), "url", "leftsemi"
             ).select("url", F.col("cluster_id").alias("prev_cluster_id"))

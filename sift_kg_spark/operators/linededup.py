@@ -92,6 +92,43 @@ def boilerplate_chunks(
     )
 
 
+def clean_against(
+    chunks: DataFrame,
+    boilerplate: DataFrame,
+    id_col: str = "doc_id",
+    delim: str = " ",
+) -> DataFrame:
+    """Re-assemble each doc from its chunks minus a given boilerplate
+    vocabulary: (id, n_chunks, n_boilerplate, clean_text).
+
+    ``chunks`` is :func:`chunk_segments` output; ``boilerplate`` any
+    frame with a ``chunk`` column (only that column is read). Split out
+    of :func:`line_dedup` so the incremental engine can clean a batch
+    against a MERGED vocabulary (base snapshot counts + batch counts)
+    instead of recounting the corpus — the join/re-assembly plan is
+    identical either way (broadcastable vocabulary, per-doc fan-in
+    bounded by chunks-per-doc).
+    """
+    bp = boilerplate.select("chunk").distinct().withColumn(
+        "_bp", F.lit(1)
+    )
+    marked = chunks.join(bp, "chunk", "left")
+    kept_struct = F.when(
+        F.col("_bp").isNull(), F.struct("chunk_idx", "chunk")
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.count("_bp").alias("n_boilerplate"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk"],
+            ),
+            delim,
+        ).alias("clean_text"),
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -112,24 +149,8 @@ def line_dedup(
     mirroring C4's post-dedup length floor.
     """
     chunks = chunk_segments(docs, id_col, text_col, chunk_tokens, delim)
-    bp = boilerplate_chunks(chunks, id_col, min_docs).select(
-        "chunk", F.lit(1).alias("_bp")
-    )
-    marked = chunks.join(bp, "chunk", "left")
-    kept_struct = F.when(
-        F.col("_bp").isNull(), F.struct("chunk_idx", "chunk")
-    )
-    return marked.groupBy(id_col).agg(
-        F.count("*").alias("n_chunks"),
-        F.count("_bp").alias("n_boilerplate"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)),
-                lambda s: s["chunk"],
-            ),
-            delim,
-        ).alias("clean_text"),
-    )
+    bp = boilerplate_chunks(chunks, id_col, min_docs)
+    return clean_against(chunks, bp, id_col, delim)
 
 
 def repetition_stats(

@@ -98,7 +98,13 @@ def prepare_docs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def prepare_stage(pages: DataFrame, cfg: DedupConfig, n_partitions: int) -> DataFrame:
+def prepare_stage(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    n_partitions: int,
+    store: StageStore | None = None,
+    resume: bool = True,
+) -> DataFrame:
     """One pass over the raw pages: extraction + normalization + the
     quarantine verdict, slim-projected.
 
@@ -150,18 +156,69 @@ def prepare_stage(pages: DataFrame, cfg: DedupConfig, n_partitions: int) -> Data
         # C4's post-dedup length floor).
         from pyspark import StorageLevel
 
-        from sift_kg_spark.operators.linededup import line_dedup
+        from sift_kg_spark.operators.linededup import (
+            boilerplate_chunks,
+            chunk_segments,
+            clean_against,
+        )
 
-        extracted = docs.select("url", "lang", "text").persist(
-            StorageLevel.MEMORY_AND_DISK
+        if store is not None:
+            # The span tier's STORAGE SWITCH (docs/ICEBERG.md §6.2): a
+            # base run that wants incremental appends later must commit
+            #   extracted    (url, lang, text) — original extracted text,
+            #                ALL pages incl. eventually-quarantined ones
+            #                (chunk counts are defined over every page
+            #                with text, exactly as this full run counts);
+            #   chunk_counts (chunk, n_docs) — counts for EVERY distinct
+            #                chunk, not just boilerplate: an append batch
+            #                must read sub-threshold counts to detect
+            #                min_docs crossings;
+            #   chunk_docs   (chunk, url) — inverted index of
+            #                SUB-threshold chunks only (each has
+            #                < min_docs carriers by construction), the
+            #                re-clean blast-radius lookup.
+            # At the Iceberg seam these are bucket(chunk)-partitioned
+            # MERGE INTO targets; here they are ordinary stage snapshots.
+            extracted = store.stage(
+                "extracted",
+                lambda: docs.select("url", "lang", "text"),
+                inputs=("pages",),
+                resume=resume,
+            )
+        else:
+            extracted = docs.select("url", "lang", "text").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        chunks = chunk_segments(
+            extracted, "url", "text", cfg.span_dedup_chunk_tokens
         )
-        cleaned = line_dedup(
-            extracted,
-            "url",
-            "text",
-            chunk_tokens=cfg.span_dedup_chunk_tokens,
-            min_docs=cfg.span_dedup_min_docs,
-        )
+        if store is not None:
+            counts = store.stage(
+                "chunk_counts",
+                lambda: chunks.groupBy("chunk").agg(
+                    F.countDistinct("url").alias("n_docs")
+                ),
+                inputs=("extracted",),
+                resume=resume,
+            )
+            store.stage(
+                "chunk_docs",
+                lambda: chunks.select("chunk", "url")
+                .distinct()
+                .join(
+                    counts.filter(
+                        F.col("n_docs") < cfg.span_dedup_min_docs
+                    ).select("chunk"),
+                    "chunk",
+                    "leftsemi",
+                ),
+                inputs=("chunk_counts",),
+                resume=resume,
+            )
+            bp = counts.filter(F.col("n_docs") >= cfg.span_dedup_min_docs)
+        else:
+            bp = boilerplate_chunks(chunks, "url", cfg.span_dedup_min_docs)
+        cleaned = clean_against(chunks, bp, "url")
         docs = (
             extracted.select("url", "lang")
             .join(
@@ -303,7 +360,11 @@ def run_dedup(
 
     n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     prepared = commit(
-        "prepared", lambda: prepare_stage(pages, cfg, n_partitions), ("pages",)
+        "prepared",
+        lambda: prepare_stage(
+            pages, cfg, n_partitions, store=store, resume=resume
+        ),
+        ("pages",),
     )
     if cfg.capture_dedup and "warc_ts" in pages.columns and store is not None:
         # Capture snapshot: (canonical_url, url, warc_ts) of every

@@ -324,13 +324,40 @@ def _base_tables(spark: SparkSession, workdir: str, upto_gen: int) -> dict:
     cap_present = any(
         os.path.exists(p) for p in _gen_paths(workdir, cg, live, "captures")
     )
+    span_present = any(
+        os.path.exists(p)
+        for p in _gen_paths(workdir, cg, live, "chunk_counts")
+    )
     if cap_present:
         caps = _scoped("captures", "url", _paths_for("captures"))
         if caps is not None:
             tables["captures"] = caps
+    if span_present:
+        # Span-tier state: plain unions, deliberately NOT
+        # tombstone-filtered.
+        # - ``extracted`` rows hold ORIGINAL text: a re-cleaned
+        #   (tombstoned) doc's original stays valid — a later crossing
+        #   re-cleans it again from the same original.
+        # - ``chunk_counts`` rows are per-generation COUNT DELTAS over
+        #   originals (readers sum after probing); originals never
+        #   change under append-only ingest, so no row ever retracts.
+        # - ``chunk_docs`` rows map chunks to their ORIGINAL carriers;
+        #   rows for chunks that crossed in an earlier generation are
+        #   stale but inert (the incremental crossing filter requires
+        #   the current summed count to still be below min_docs).
+        for name in ("extracted", "chunk_counts", "chunk_docs"):
+            parts = [
+                spark.read.parquet(p)
+                for p in _gen_paths(workdir, cg, live, name)
+                if os.path.exists(p)
+            ]
+            if parts:
+                tables[name] = _union_all(parts)
+    if cap_present or span_present:
         # pair evidence: a pair dies when EITHER endpoint is tombstoned
         # by a later generation (the issuing generation committed the
-        # rewritten replacements alongside)
+        # rewritten replacements alongside). The span tier needs this
+        # for the same cluster-repair path a capture supersession takes.
         parts = []
         for gen_key, path in (
             [(cg, os.path.join(_compact_dir(workdir, cg), "dup_pairs.parquet"))]
@@ -460,18 +487,21 @@ def stream_dedup(
     directory and stops (batch-style backfill, also what tests use);
     ``False`` runs continuously with the default micro-batch trigger.
     """
-    if cfg.span_dedup:
+    if cfg.span_dedup and cfg.capture_dedup:
         # fail BEFORE the query starts: generation 0 (a full run) would
-        # accept this corpus-stateful tier and generation 1+ (the
-        # incremental path) would then refuse it mid-stream, leaving a
-        # half-built state dir. Same contract as run_dedup_incremental.
-        # (capture_dedup IS streamable: the supersede/tombstone machinery
-        # in incremental.py keeps combined == full per batch.)
+        # accept both tiers and generation 1+ (the incremental path)
+        # would then refuse the combination mid-stream, leaving a
+        # half-built state dir. Same contract as run_dedup_incremental:
+        # each tier streams on its own (capture via the supersede/
+        # tombstone machinery, span via monotone chunk-count deltas +
+        # crossing re-cleans), but together capture supersession makes
+        # chunk counts non-monotone and de-crossed chunks would need a
+        # full inverted index to restore (docs/ICEBERG.md §6.3).
         raise ValueError(
-            "span_dedup is a corpus-stateful prepare tier and is not "
-            "supported in streaming mode (the incremental path cannot "
-            "apply it batch-locally without diverging from the full-run "
-            "contract). See docs/ICEBERG.md §6 for the design sketch."
+            "span_dedup + capture_dedup cannot compose in streaming "
+            "mode (capture supersession breaks the span tier's "
+            "count-monotonicity contract); stream with one tier at a "
+            "time or rebuild in batch. See docs/ICEBERG.md §6.3."
         )
     os.makedirs(workdir, exist_ok=True)
     stream = (

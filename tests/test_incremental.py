@@ -209,12 +209,13 @@ def test_incremental_rejects_stale_feature_format(spark, cfg):
 
 
 def test_incremental_rejects_corpus_stateful_tiers(spark, tmp_path_factory):
-    """span_dedup counts chunk state over the WHOLE corpus; a batch-local
-    application silently diverges from the full-run equality contract, so
-    incremental mode must refuse it loudly. capture_dedup IS supported
-    (r4 verdict item 1) but demands the base captures/dup_pairs
-    snapshots — a base without them must fail with guidance, not
-    silently skip supersession."""
+    """Both corpus-stateful tiers now compose with appends — each on its
+    own, each demanding its committed base state. A base without the
+    capture snapshots (captures/dup_pairs) or the span storage switch
+    (extracted/chunk_counts/chunk_docs/dup_pairs) must fail with
+    guidance, not silently skip supersession/re-cleaning. The tiers
+    TOGETHER stay refused: capture supersession breaks the span tier's
+    count-monotonicity contract (docs/ICEBERG.md §6.3)."""
     import pytest
 
     from sift_kg_spark import DedupConfig
@@ -228,7 +229,7 @@ def test_incremental_rejects_corpus_stateful_tiers(spark, tmp_path_factory):
         "features": batch.limit(0),
         "assignments": batch.limit(0),
     }
-    with pytest.raises(ValueError, match="corpus-stateful"):
+    with pytest.raises(ValueError, match="storage switch"):
         run_dedup_incremental(
             spark, batch, DedupConfig(span_dedup=True), base_tables=base_tables
         )
@@ -237,6 +238,13 @@ def test_incremental_rejects_corpus_stateful_tiers(spark, tmp_path_factory):
             spark,
             batch,
             DedupConfig(capture_dedup=True),
+            base_tables=base_tables,
+        )
+    with pytest.raises(ValueError, match="cannot compose"):
+        run_dedup_incremental(
+            spark,
+            batch,
+            DedupConfig(span_dedup=True, capture_dedup=True),
             base_tables=base_tables,
         )
 
@@ -413,3 +421,198 @@ class TestIncrementalCaptureDedup:
                 spark, batch, CAPTURE_CFG,
                 base_workdir=str(wd / "base"), workdir=str(wd / "incr"),
             )
+
+
+# --------------------------------------------------------------------------
+# span tier: combined-vs-full equality when chunks cross min_docs at the
+# batch boundary (re-clean tombstones, cluster split, quarantine-on-clean,
+# rep death + re-homed pairing, redelivery count idempotency)
+# --------------------------------------------------------------------------
+
+def _swords(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i:03d}" for i in range(n))
+
+
+# all shared runs sit at token offset 0 with lengths that are multiples of
+# the 4-token chunk grid, so their chunks line up across carriers
+_GLUE = _swords("glue", 40)          # 10 chunks; 2 base carriers
+_S2 = _swords("pure", 24)            # 6 chunks; 2 base carriers
+_CASE_LC = "caseglue aa bb cc"       # 1 chunk, lowercase raw
+_CASE_UC = "Caseglue Aa Bb Cc"       # same chunk after NORMALIZATION only
+_EBODY = _swords("ebody", 36)
+_SHARE3 = "shared3 xx yy zz"         # 1 chunk; 2 base carriers
+
+SPAN_CFG = DedupConfig(
+    min_text_chars=10,
+    span_dedup=True,
+    span_dedup_chunk_tokens=4,
+    span_dedup_min_docs=3,
+    approve_jaccard=0.4,
+)
+
+_SPAN_BASE = [
+    # (1) near-dup pair glued ONLY by _GLUE: crossing must split it
+    ("http://a.com/1", _GLUE + " " + _swords("afill", 8)),
+    ("http://a.com/2", _GLUE + " " + _swords("bfill", 8)),
+    # (2) _S2 pure-boilerplate doc: crossing quarantines it (C4 floor)
+    ("http://q.com/only", _S2),
+    ("http://q.com/other", _S2 + " " + _swords("qfill", 8)),
+    # (3) case-variant exact family: same text_norm, DIFFERENT raw chunks.
+    #     The lowercase chunk will cross; only b.com/1 (the group's rep —
+    #     min url) carries it raw, so the rep dies while b.com/2 survives
+    #     and must be re-homed.
+    ("http://b.com/1", _CASE_LC + " " + _EBODY),
+    ("http://b.com/2", _CASE_UC + " " + _EBODY),
+    # background + redelivery trap: _SHARE3 has exactly 2 base carriers;
+    # a re-delivered carrier must NOT count again (else it falsely
+    # crosses and re-cleans bg.com/3/4, diverging from the full run)
+    ("http://bg.com/1", _swords("gfill", 25)),
+    ("http://bg.com/3", _SHARE3 + " " + _swords("hfill", 20)),
+    ("http://bg.com/4", _SHARE3 + " " + _swords("ifill", 20)),
+]
+
+_SPAN_BATCH = [
+    # third _GLUE carrier -> crossing -> re-clean a.com/1, a.com/2
+    ("http://n.com/1", _GLUE + " " + _swords("nfill", 8)),
+    # third _S2 carrier -> q.com/only becomes pure boilerplate
+    ("http://n.com/2", _S2 + " " + _swords("mfill", 20)),
+    # two lowercase-case-chunk carriers -> _CASE_LC crosses (1 base + 2)
+    ("http://n.com/c1", _CASE_LC + " " + _swords("cfill", 20)),
+    ("http://n.com/c2", _CASE_LC + " " + _swords("dfill", 20)),
+    # near-dup of the SURVIVING case variant: must pair through the
+    # re-homed representative's keys/features. Its body is TITLE-cased so
+    # its raw chunks are all fresh (count 1 — no accidental crossing of
+    # the base family's lowercase ebody chunks) while its NORMALIZED text
+    # stays a near-dup of the family.
+    (
+        "http://b.com/9",
+        _CASE_UC
+        + " "
+        + " ".join(
+            f"Ebody{i:03d}" for i in range(34)
+        )
+        + " oddend zz",
+    ),
+    # byte-identical redelivery of a _SHARE3 carrier: dropped, NOT counted
+    ("http://bg.com/3", _SHARE3 + " " + _swords("hfill", 20)),
+    # ordinary new doc
+    ("http://n.com/5", _swords("zfill", 25)),
+]
+
+
+def _span_pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, None, t, "en") for u, t in rows],
+        "url string, html binary, text string, lang string",
+    )
+
+
+class TestIncrementalSpanDedup:
+    def _run_pair(self, spark, tmp_path_factory):
+        wd = tmp_path_factory.mktemp("span")
+        # the full-run comparator sees each url ONCE: redelivery is the
+        # increment's at-least-once concern, not a property of the corpus
+        seen, full_rows = set(), []
+        for u, t in _SPAN_BASE + _SPAN_BATCH:
+            if u not in seen:
+                seen.add(u)
+                full_rows.append((u, t))
+        full = run_dedup(
+            spark, _span_pages(spark, full_rows), SPAN_CFG,
+            workdir=str(wd / "full"),
+        )
+        run_dedup(
+            spark, _span_pages(spark, _SPAN_BASE), SPAN_CFG,
+            workdir=str(wd / "base"),
+        )
+        inc = run_dedup_incremental(
+            spark,
+            _span_pages(spark, _SPAN_BATCH),
+            SPAN_CFG,
+            base_workdir=str(wd / "base"),
+            workdir=str(wd / "incr"),
+        )
+        return full, inc, wd
+
+    def test_combined_equals_full(self, spark, tmp_path_factory):
+        full, inc, wd = self._run_pair(spark, tmp_path_factory)
+        got = _assignments_map(inc.assignments)
+        want = _assignments_map(full.assignments)
+        assert set(got) == set(want)
+        mism = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
+        assert not mism, f"{len(mism)} mismatches: {list(mism.items())[:5]}"
+        gc = {r["cluster_id"]: (r["size"], r["canonical_url"])
+              for r in inc.clusters.collect()}
+        wc = {r["cluster_id"]: (r["size"], r["canonical_url"])
+              for r in full.clusters.collect()}
+        assert gc == wc
+
+        # the scenarios actually exercised what they claim:
+        # (1) the glue crossing split the a-pair
+        assert got["http://a.com/1"][0] != got["http://a.com/2"][0]
+        # (2) the pure-boilerplate doc left assignments via quarantine
+        assert "http://q.com/only" not in got
+        quar = {
+            r["url"]: r["reason"] for r in inc.quarantine.collect()
+        }
+        assert quar.get("http://q.com/only") == "near_empty"
+        # (3) rep death: the surviving case variant kept its family and
+        # the batch near-dup joined THROUGH the re-homed features
+        assert got["http://b.com/9"][0] == got["http://b.com/2"][0]
+        # redelivered carrier unchanged, its twin untouched
+        assert got["http://bg.com/3"][0] == "http://bg.com/3"
+        assert got["http://bg.com/4"][0] == "http://bg.com/4"
+
+    def test_full_run_prestate_is_nontrivial(self, spark, tmp_path_factory):
+        """The scenarios only test something if the BASE state has the
+        claimed shape: glue pair clustered, q-family clustered with the
+        pure-boilerplate doc UNquarantined, case family labeled by the
+        doomed rep."""
+        wd = tmp_path_factory.mktemp("span_pre")
+        base = run_dedup(
+            spark, _span_pages(spark, _SPAN_BASE), SPAN_CFG,
+            workdir=str(wd / "base"),
+        )
+        m = _assignments_map(base.assignments)
+        assert m["http://a.com/1"][0] == m["http://a.com/2"][0]
+        assert "http://q.com/only" in m
+        assert m["http://q.com/only"][0] == m["http://q.com/other"][0]
+        assert (
+            m["http://b.com/1"][0]
+            == m["http://b.com/2"][0]
+            == "http://b.com/1"
+        )
+
+    def test_state_writes_are_batch_scale(self, spark, tmp_path_factory):
+        """The increment's chunk state commits are DELTAS: the count
+        snapshot covers only the batch's distinct chunks, never the
+        corpus vocabulary (O(batch) writes per generation)."""
+        _, _, wd = self._run_pair(spark, tmp_path_factory)
+
+        def chunks_of(text):
+            toks = text.split(" ")
+            return {
+                " ".join(toks[i : i + 4]) for i in range(0, len(toks), 4)
+            }
+
+        # exactly the batch's own vocabulary (redelivered carrier
+        # excluded), with per-chunk counts = distinct batch carriers —
+        # never the corpus vocabulary
+        expected = {}
+        for u, t in _SPAN_BATCH:
+            if u == "http://bg.com/3":
+                continue
+            for c in chunks_of(t):
+                expected.setdefault(c, set()).add(u)
+        inc_counts = {
+            r["chunk"]: r["n_docs"]
+            for r in spark.read.parquet(
+                str(wd / "incr" / "chunk_counts.parquet")
+            ).collect()
+        }
+        assert inc_counts == {c: len(us) for c, us in expected.items()}
+        ext = spark.read.parquet(str(wd / "incr" / "extracted.parquet"))
+        batch_urls = {r["url"] for r in ext.select("url").collect()}
+        assert batch_urls == {
+            u for u, _ in _SPAN_BATCH if u != "http://bg.com/3"
+        }, "extracted must hold batch originals minus redelivered urls"

@@ -222,20 +222,22 @@ def test_stream_resumes_legacy_state_without_keys(
 
 
 def test_stream_rejects_corpus_stateful_tiers(spark, tmp_path_factory):
-    """stream_dedup must refuse span/capture tiers BEFORE the query
-    starts (gen 0 would accept them, gen 1+ would fail mid-stream)."""
+    """stream_dedup must refuse the capture+span COMBINATION before the
+    query starts (gen 0 would accept both tiers; gen 1+ would fail
+    mid-stream, leaving a half-built state dir). Each tier on its own
+    streams fine."""
     import pytest
 
     from sift_kg_spark import DedupConfig
     from sift_kg_spark.streaming import stream_dedup
 
     wd = tmp_path_factory.mktemp("stream_reject")
-    with pytest.raises(ValueError, match="corpus-stateful"):
+    with pytest.raises(ValueError, match="cannot compose"):
         stream_dedup(
             spark,
             os.path.join(str(wd), "landing"),
             os.path.join(str(wd), "state"),
-            DedupConfig(span_dedup=True),
+            DedupConfig(span_dedup=True, capture_dedup=True),
         )
 
 
@@ -348,3 +350,95 @@ def test_stream_capture_generations_match_full_run(spark, tmp_path_factory):
     assert got["http://s.com/x"][0] != got["http://s.com/y"][0]
     # exact twin survived its rep: singleton now
     assert got["http://s.com/a2"][0] == "http://s.com/a2"
+
+
+# --------------------------------------------------------------------------
+# span tier across generations: chunk crossings straddle generation
+# boundaries and a mid-stream compaction; re-cleans hit COMPACTED docs
+# --------------------------------------------------------------------------
+
+_SGLUE = _cwords("sglue", 40)   # 10 chunks (4-token grid)
+_SPURE = _cwords("spure", 24)   # 6 chunks
+
+
+def _spages(spark, rows):
+    return spark.createDataFrame(
+        [(u, None, t, "en") for u, t in rows],
+        "url string, html binary, text string, lang string",
+    )
+
+
+def test_stream_span_generations_match_full_run(spark, tmp_path_factory):
+    """span_dedup across streaming generations: chunk counts accumulate
+    over generations (gen0 plants 2 _SGLUE carriers, gen1 a 2nd _SPURE
+    carrier, compaction folds gen0+gen1, gen2 pushes BOTH chunks over
+    min_docs=3) — the crossing re-cleans docs living in the COMPACTED
+    snapshot and in a live generation, splits a glue-only cluster,
+    quarantines a now-pure-boilerplate doc, and the final state equals a
+    full span-mode run over every page ever landed."""
+    from sift_kg_spark import DedupConfig
+    from sift_kg_spark.streaming import process_batch
+
+    scfg = DedupConfig(
+        min_text_chars=10,
+        span_dedup=True,
+        span_dedup_chunk_tokens=4,
+        span_dedup_min_docs=3,
+        approve_jaccard=0.4,
+    )
+    gen0 = [
+        ("http://g.com/1", _SGLUE + " " + _cwords("ga", 8)),
+        ("http://g.com/2", _SGLUE + " " + _cwords("gb", 8)),
+        ("http://q.com/1", _SPURE + " " + _cwords("qa", 8)),
+        ("http://f.com/1", _cwords("fbody", 25)),
+    ]
+    gen1 = [
+        ("http://q.com/2", _SPURE),                      # 2nd carrier, pure
+        ("http://h.com/1", _cwords("hbody", 25)),
+    ]
+    gen2 = [
+        ("http://n.com/1", _SGLUE + " " + _cwords("nc", 8)),   # crosses glue
+        ("http://n.com/2", _SPURE + " " + _cwords("nw", 20)),  # crosses pure
+    ]
+
+    wd = tmp_path_factory.mktemp("stream_span")
+    state = os.path.join(str(wd), "state")
+    for i, rows in enumerate([gen0, gen1, gen2]):
+        process_batch(
+            spark, _spages(spark, rows), state, scfg, batch_id=i,
+            compact_every=2,
+        )
+
+    full = run_dedup(
+        spark,
+        _spages(spark, gen0 + gen1 + gen2),
+        scfg,
+        workdir=os.path.join(str(wd), "full"),
+    )
+    want = _amap(full.assignments)
+    got = _amap(read_assignments(spark, state))
+    assert set(got) == set(want)
+    mism = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
+    assert not mism, f"{len(mism)} mismatches: {list(mism.items())[:5]}"
+
+    # compaction happened at gen1 (the crossings re-cleaned COMPACTED docs)
+    assert os.path.exists(os.path.join(state, "compact=1"))
+    # the glue crossing split the gen0 pair
+    assert got["http://g.com/1"][0] != got["http://g.com/2"][0]
+    # the pure-boilerplate gen1 doc quarantined out of assignments, via a
+    # DELETION row in gen2's delta
+    assert "http://q.com/2" not in got
+    delta2 = spark.read.parquet(
+        os.path.join(state, "gen=2", "assignments_delta.parquet")
+    )
+    dels = {
+        r["url"]
+        for r in delta2.filter(F.col("cluster_id").isNull()).collect()
+    }
+    assert "http://q.com/2" in dels
+    # per-generation span state is DELTA-sized: gen2 committed counts for
+    # its own chunks only (2 docs x ~16 chunks), not the corpus vocabulary
+    g2_counts = spark.read.parquet(
+        os.path.join(state, "gen=2", "chunk_counts.parquet")
+    )
+    assert g2_counts.count() <= 40

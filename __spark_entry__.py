@@ -421,6 +421,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winnow_dup_pairs"] = winnow_dup_pairs
 
+    # ---- benchmark decontamination (training-data hygiene tier) ----------
+
+    def decontaminate_benchmark(spark, sf):
+        from sift_kg_spark.operators.decontam import decontaminate
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        # planted benchmark (the %13 recipe): a 20-token mid-slice of
+        # every eligible doc, so each slice's source doc is contaminated
+        # by construction and short/clean docs are provably not.
+        toks = F.split(F.trim("text"), r"\s+")
+        bench = d.filter(
+            (F.col("doc_id") % 13 == 5) & (F.size(toks) >= 30)
+        ).select(F.array_join(F.slice(toks, 4, 20), " ").alias("text"))
+        out = decontaminate(d, bench, n=8)
+        return out.select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            "contaminated",
+        )
+
+    q["decontaminate_benchmark"] = decontaminate_benchmark
+
     # ---- n-gram Jaccard near-dup (J4 verify analog, integer-exact) -------
 
     def ngram_jaccard_pairs(spark, sf):
@@ -1986,6 +2009,43 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_a, doc_b, count(*) AS n_shared FROM pairs
         GROUP BY 1, 2 HAVING count(*) >= 3
+    """
+
+    o["decontaminate_benchmark"] = """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        bench AS (
+            SELECT array_to_string(t[4:23], ' ') AS btext
+            FROM toks WHERE doc_id % 13 = 5 AND len(t) >= 30
+        ),
+        btoks AS (
+            SELECT regexp_split_to_array(trim(btext), '\\s+') AS bt FROM bench
+        ),
+        bgrams AS (
+            SELECT DISTINCT
+                   substr(md5(array_to_string(bt[i : i+7], ' ')), 1, 16) AS g
+            FROM btoks,
+                 LATERAL UNNEST(range(1, CAST(len(bt) - 8 + 2 AS BIGINT))) AS u(i)
+            WHERE len(bt) >= 8
+        ),
+        cgrams AS (
+            SELECT doc_id,
+                   substr(md5(array_to_string(t[i : i+7], ' ')), 1, 16) AS g
+            FROM toks,
+                 LATERAL UNNEST(range(1, CAST(len(t) - 8 + 2 AS BIGINT))) AS u(i)
+            WHERE len(t) >= 8
+        ),
+        hits AS (
+            SELECT doc_id, count(DISTINCT g) AS n_hits
+            FROM cgrams JOIN bgrams USING (g) GROUP BY 1
+        )
+        SELECT c.doc_id,
+               greatest(len(c.t) - 8 + 1, 0) AS n_grams,
+               coalesce(h.n_hits, 0) AS n_hits,
+               coalesce(h.n_hits, 0) >= 1 AS contaminated
+        FROM toks c LEFT JOIN hits h USING (doc_id)
     """
 
     o["ngram_jaccard_pairs"] = """

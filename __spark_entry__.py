@@ -444,6 +444,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate_benchmark"] = decontaminate_benchmark
 
+    # ---- hash-deterministic sampling / corpus mixing ---------------------
+
+    def stratified_sample_docs(spark, sf):
+        from sift_kg_spark.operators.sampling import stratified_sample
+
+        d = _t(spark, sf, "documents").select("doc_id", "lang")
+        rates = spark.createDataFrame(
+            [("en", 0.5), ("de", 0.25), ("es", 0.75), ("fr", 0.125),
+             ("zh", 1.0)],
+            ["lang", "rate"],
+        )
+        out = stratified_sample(d, rates, "lang", "doc_id", salt="mix1")
+        return out.select("doc_id", "lang")
+
+    q["stratified_sample_docs"] = stratified_sample_docs
+
+    def token_budget_mix(spark, sf):
+        from sift_kg_spark.operators.sampling import token_budget_sample
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        out = token_budget_sample(
+            d, budget_tokens=400.0, stratum_col="lang",
+            token_col="n_tokens", key_col="doc_id", salt="budget",
+        )
+        return out.select("doc_id", "lang", "n_tokens")
+
+    q["token_budget_mix"] = token_budget_mix
+
     # ---- n-gram Jaccard near-dup (J4 verify analog, integer-exact) -------
 
     def ngram_jaccard_pairs(spark, sf):
@@ -2009,6 +2043,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_a, doc_b, count(*) AS n_shared FROM pairs
         GROUP BY 1, 2 HAVING count(*) >= 3
+    """
+
+    o["stratified_sample_docs"] = """
+        WITH rates(lang, rate) AS (
+            VALUES ('en', 0.5), ('de', 0.25), ('es', 0.75), ('fr', 0.125),
+                   ('zh', 1.0)
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates r USING (lang)
+        WHERE r.rate >= 1.0
+           OR substr(md5('mix1:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+              < printf('%08x',
+                       CAST(floor(r.rate * 4294967296.0) AS BIGINT))
+    """
+
+    o["token_budget_mix"] = """
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        rates AS (
+            SELECT lang, least(1.0, 400.0 / sum(n_tokens)) AS rate
+            FROM t GROUP BY lang
+        )
+        SELECT t.doc_id, t.lang, t.n_tokens
+        FROM t JOIN rates r USING (lang)
+        WHERE r.rate >= 1.0
+           OR substr(md5('budget:' || CAST(t.doc_id AS VARCHAR)), 1, 8)
+              < printf('%08x',
+                       CAST(floor(r.rate * 4294967296.0) AS BIGINT))
     """
 
     o["decontaminate_benchmark"] = """

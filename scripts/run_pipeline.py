@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="C4-style corpus chunk dedup before hashing")
     p.add_argument("--span-chunk-tokens", type=int, default=None)
     p.add_argument("--span-min-docs", type=int, default=None)
+    p.add_argument("--decontam-benchmark", default=None,
+                   help="benchmark parquet ('text' column): docs sharing "
+                        "an n-gram quarantine as contaminated")
+    p.add_argument("--decontam-ngram", type=int, default=None)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -60,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
         overrides["span_dedup_chunk_tokens"] = args.span_chunk_tokens
     if args.span_min_docs is not None:
         overrides["span_dedup_min_docs"] = args.span_min_docs
+    if args.decontam_benchmark is not None:
+        overrides["decontaminate"] = True
+        overrides["decontam_benchmark_path"] = args.decontam_benchmark
+    if args.decontam_ngram is not None:
+        overrides["decontam_ngram"] = args.decontam_ngram
     cfg = DedupConfig(**overrides)
 
     # Respect the spark-submit master; only fill in defaults.

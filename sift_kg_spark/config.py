@@ -74,6 +74,19 @@ class DedupConfig:
     span_dedup_chunk_tokens: int = 20
     span_dedup_min_docs: int = 4
 
+    # --- benchmark decontamination tier (operators/decontam): when on,
+    # docs sharing >= decontam_min_hits token n-grams with the benchmark
+    # parquet at decontam_benchmark_path (one 'text' column) quarantine
+    # with reason='contaminated' before the hash stages. Off by default.
+    # Unlike span/capture, the benchmark is STATIC state (a path, never
+    # derived from the corpus), so this tier composes with
+    # incremental/streaming mode unchanged: every batch probes the same
+    # broadcast gram set.
+    decontaminate: bool = False
+    decontam_benchmark_path: str | None = None
+    decontam_ngram: int = 13
+    decontam_min_hits: int = 1
+
     # --- quarantine (reference near-empty detection,
     # /root/reference/src/sift_kg/ingest/kreuzberg_extractor.py:44-45) ---
     min_text_chars: int = 50

@@ -230,6 +230,37 @@ def prepare_stage(
             .withColumn("n_chars", F.length("text"))
             .select("url", "lang", "text", "text_norm", "n_chars")
         )
+    if cfg.decontaminate:
+        if not cfg.decontam_benchmark_path:
+            raise ValueError(
+                "decontaminate=True requires decontam_benchmark_path "
+                "(parquet with a 'text' column)"
+            )
+        # Benchmark decontamination tier (operators/decontam): docs
+        # sharing >= decontam_min_hits n-grams with the benchmark
+        # quarantine as 'contaminated' — the GPT-3/PaLM eval-overlap
+        # hygiene pass, run on the EXTRACTED text (pre-normalization).
+        # The benchmark is static state (never corpus-derived), so this
+        # join rides along unchanged in incremental/streaming batches.
+        from sift_kg_spark.operators.decontam import decontaminate
+
+        bench = docs.sparkSession.read.parquet(
+            cfg.decontam_benchmark_path
+        )
+        contaminated = (
+            decontaminate(
+                docs.select("url", "text").filter(F.col("text").isNotNull()),
+                bench,
+                n=cfg.decontam_ngram,
+                id_col="url",
+                min_hits=cfg.decontam_min_hits,
+            )
+            .filter(F.col("contaminated"))
+            .select("url", F.lit(True).alias("_contam"))
+        )
+        docs = docs.join(F.broadcast(contaminated), "url", "left")
+    else:
+        docs = docs.withColumn("_contam", F.lit(None).cast("boolean"))
     is_bad = (
         F.col("text").isNull()
         | (F.length(F.trim(F.col("text"))) < cfg.min_text_chars)
@@ -238,6 +269,7 @@ def prepare_stage(
         # the hash stages — near-empty normalized keys would mass-merge
         # unrelated pages.
         | (F.length("text_norm") < F.lit(max(1, cfg.min_text_chars // 2)))
+        | F.col("_contam").isNotNull()
     )
     reason_chain = F.when(
         F.col("text").isNull(), "extraction_failed"
@@ -246,7 +278,7 @@ def prepare_stage(
     ).when(
         F.length("text_norm") < F.lit(max(1, cfg.min_text_chars // 2)),
         "normalized_empty",
-    )
+    ).when(F.col("_contam").isNotNull(), "contaminated")
     if cfg.quality_gate:
         # Gopher rule gate (functions/quality.py) — same quarantine
         # surface as near-empty detection: rejected docs carry a reason

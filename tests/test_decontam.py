@@ -11,6 +11,7 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from sift_kg_spark.operators.decontam import decontaminate
 
@@ -89,4 +90,155 @@ class TestDecontaminate:
         b = self._run(spark, corpus, bench, broadcast_benchmark=False)
         assert {k: (v.n_hits, v.contaminated) for k, v in a.items()} == {
             k: (v.n_hits, v.contaminated) for k, v in b.items()
+        }
+
+
+def _pages(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(rows, "url string, text string").select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+
+
+CONTAM = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "unique trailing words to stay over the length floor here")
+CLEAN = ("one two three four five six seven eight nine ten eleven "
+         "twelve thirteen fourteen fifteen sixteen")
+LONER = ("red orange yellow green blue indigo violet colors march "
+         "across the evening sky in a wide calm band")
+
+
+class TestPipelineDecontamTier:
+    """Both directions: flag off -> contaminated docs cluster normally;
+    flag on -> they quarantine as 'contaminated' and never merge, while
+    clean clusters are untouched."""
+
+    def _bench(self, tmp_path):
+        import pandas as pd
+
+        # the first 10 tokens of CONTAM — any 6-gram inside overlaps
+        path = str(tmp_path / "bench.parquet")
+        pd.DataFrame(
+            {"text": [" ".join(CONTAM.split()[:10])]}
+        ).to_parquet(path, index=False)
+        return path
+
+    def test_both_directions(self, spark, tmp_path):
+        from sift_kg_spark.config import DedupConfig
+        from sift_kg_spark.pipeline import run_dedup
+
+        rows = [
+            ("http://d.com/a1", CONTAM),
+            ("http://d.com/a2", CONTAM),
+            ("http://d.com/b1", CLEAN),
+            ("http://d.com/b2", CLEAN),
+            ("http://d.com/c", LONER),
+        ]
+        pages = _pages(spark, rows)
+        bench = self._bench(tmp_path)
+
+        off = run_dedup(spark, pages, DedupConfig(min_text_chars=10))
+        assert off.assignments.count() == 5
+        assert off.quarantine.count() == 0
+        a_clusters = {
+            r.cluster_id
+            for r in off.assignments.filter(
+                F.col("url").startswith("http://d.com/a")
+            ).collect()
+        }
+        assert len(a_clusters) == 1  # the contaminated twins DO merge off
+
+        on = run_dedup(
+            spark,
+            pages,
+            DedupConfig(
+                min_text_chars=10,
+                decontaminate=True,
+                decontam_benchmark_path=bench,
+                decontam_ngram=6,
+            ),
+        )
+        quar = on.quarantine.toPandas().sort_values("url")
+        assert quar.reason.tolist() == ["contaminated", "contaminated"]
+        assert quar.url.tolist() == ["http://d.com/a1", "http://d.com/a2"]
+        kept = on.assignments.toPandas()
+        assert sorted(kept.url) == [
+            "http://d.com/b1", "http://d.com/b2", "http://d.com/c"
+        ]
+        b = kept[kept.url.str.startswith("http://d.com/b")]
+        assert b.cluster_id.nunique() == 1  # clean cluster untouched
+
+    def test_missing_path_raises(self, spark):
+        import pytest as _pytest
+
+        from sift_kg_spark.config import DedupConfig
+        from sift_kg_spark.pipeline import run_dedup
+
+        pages = _pages(spark, [("http://d.com/a", CLEAN)])
+        with _pytest.raises(ValueError, match="decontam_benchmark_path"):
+            run_dedup(spark, pages, DedupConfig(decontaminate=True))
+
+
+class TestIncrementalDecontam:
+    """The benchmark is static state, so the tier composes with
+    incremental appends unchanged: combined incremental result equals a
+    full run over the combined corpus, with a contaminated twin pair
+    straddling the base/batch split."""
+
+    def test_combined_equals_full(self, spark, tmp_path):
+        from sift_kg_spark.config import DedupConfig
+        from sift_kg_spark.incremental import run_dedup_incremental
+        from sift_kg_spark.pipeline import run_dedup
+
+        import pandas as pd
+
+        bench = str(tmp_path / "bench.parquet")
+        pd.DataFrame(
+            {"text": [" ".join(CONTAM.split()[:10])]}
+        ).to_parquet(bench, index=False)
+        cfg = DedupConfig(
+            min_text_chars=10,
+            decontaminate=True,
+            decontam_benchmark_path=bench,
+            decontam_ngram=6,
+        )
+        base_rows = [
+            ("http://d.com/a1", CONTAM),
+            ("http://d.com/b1", CLEAN),
+            ("http://d.com/c", LONER),
+        ]
+        batch_rows = [
+            ("http://d.com/a2", CONTAM),   # contaminated twin in the batch
+            ("http://d.com/b2", CLEAN),
+        ]
+        full = run_dedup(
+            spark, _pages(spark, base_rows + batch_rows), cfg,
+            workdir=str(tmp_path / "full"),
+        )
+        run_dedup(
+            spark, _pages(spark, base_rows), cfg,
+            workdir=str(tmp_path / "base"),
+        )
+        inc = run_dedup_incremental(
+            spark, _pages(spark, batch_rows), cfg,
+            base_workdir=str(tmp_path / "base"),
+            workdir=str(tmp_path / "incr"),
+        )
+        want = {
+            (r.url, r.canonical_url, r.cluster_size)
+            for r in full.assignments.collect()
+        }
+        got = {
+            (r.url, r.canonical_url, r.cluster_size)
+            for r in inc.assignments.collect()
+        }
+        assert got == want
+        # both contaminated docs quarantined in their own generations
+        assert {r.url for r in full.quarantine.collect()} == {
+            "http://d.com/a1", "http://d.com/a2"
         }

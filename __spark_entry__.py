@@ -478,6 +478,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_budget_mix"] = token_budget_mix
 
+    def pii_redaction_stats(spark, sf):
+        from sift_kg_spark.functions.pii import PII_PATTERNS, redact_pii
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        # planted PII (the %19 recipe): three disjoint doc families get
+        # an email / phone / IP suffix, so every pattern has non-vacuous
+        # rows and the untouched majority pins the no-op path.
+        planted = d.withColumn(
+            "text",
+            F.concat(
+                "text",
+                F.when(
+                    F.col("doc_id") % 19 == 2,
+                    F.lit(" contact bob@example.com or"
+                          " sue+tag@mail.example.org now"),
+                ).when(
+                    F.col("doc_id") % 19 == 7,
+                    F.lit(" call +1 555 123 4567 or (212) 555-0199 today"),
+                ).when(
+                    F.col("doc_id") % 19 == 11,
+                    F.lit(" server at 10.0.0.1 and 192.168.255.254 up"),
+                ).otherwise(F.lit("")),
+            ),
+        )
+        cnts = [
+            F.regexp_count(F.col("text"), F.lit(PII_PATTERNS[k][0]))
+            .cast("long").alias(f"n_{k}")
+            for k in ("email", "phone", "ip")
+        ]
+        return planted.select(
+            "doc_id",
+            *cnts,
+            F.length(redact_pii(F.col("text"))).cast("long").alias(
+                "len_redacted"
+            ),
+        )
+
+    q["pii_redaction_stats"] = pii_redaction_stats
+
     # ---- n-gram Jaccard near-dup (J4 verify analog, integer-exact) -------
 
     def ngram_jaccard_pairs(spark, sf):
@@ -2043,6 +2082,41 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_a, doc_b, count(*) AS n_shared FROM pairs
         GROUP BY 1, 2 HAVING count(*) >= 3
+    """
+
+    o["pii_redaction_stats"] = r"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text || CASE
+                       WHEN doc_id % 19 = 2 THEN
+                           ' contact bob@example.com or'
+                           || ' sue+tag@mail.example.org now'
+                       WHEN doc_id % 19 = 7 THEN
+                           ' call +1 555 123 4567 or (212) 555-0199 today'
+                       WHEN doc_id % 19 = 11 THEN
+                           ' server at 10.0.0.1 and 192.168.255.254 up'
+                       ELSE ''
+                   END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS n_email,
+               len(regexp_extract_all(text,
+                   '\+\d[\d -]{7,14}\d|\(\d{3}\) ?\d{3}-\d{4}'))
+                   AS n_phone,
+               len(regexp_extract_all(text,
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+               length(
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\+\d[\d -]{7,14}\d|\(\d{3}\) ?\d{3}-\d{4}',
+                       '<PHONE>', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+               ) AS len_redacted
+        FROM planted
     """
 
     o["stratified_sample_docs"] = """

@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="C4-style corpus chunk dedup before hashing")
     p.add_argument("--span-chunk-tokens", type=int, default=None)
     p.add_argument("--span-min-docs", type=int, default=None)
+    p.add_argument("--redact-pii", action="store_true",
+                   help="rewrite emails/phones/IPs to placeholders "
+                        "before hashing")
     p.add_argument("--decontam-benchmark", default=None,
                    help="benchmark parquet ('text' column): docs sharing "
                         "an n-gram quarantine as contaminated")
@@ -64,6 +67,8 @@ def main(argv: list[str] | None = None) -> int:
         overrides["span_dedup_chunk_tokens"] = args.span_chunk_tokens
     if args.span_min_docs is not None:
         overrides["span_dedup_min_docs"] = args.span_min_docs
+    if args.redact_pii:
+        overrides["redact_pii"] = True
     if args.decontam_benchmark is not None:
         overrides["decontaminate"] = True
         overrides["decontam_benchmark_path"] = args.decontam_benchmark

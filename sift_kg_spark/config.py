@@ -74,6 +74,16 @@ class DedupConfig:
     span_dedup_chunk_tokens: int = 20
     span_dedup_min_docs: int = 4
 
+    # --- PII scrub tier (functions/pii): when on, emails / phone
+    # numbers / IPv4 addresses rewrite to typed placeholders at
+    # extraction time, before normalization/hashing — pages differing
+    # only in an embedded identifier then dedup together, and no raw
+    # identifier reaches any committed stage. Off by default (the
+    # byte-identity extraction contract holds with it off). Composes
+    # with incremental/streaming unchanged: the rewrite is a pure
+    # per-row projection.
+    redact_pii: bool = False
+
     # --- benchmark decontamination tier (operators/decontam): when on,
     # docs sharing >= decontam_min_hits token n-grams with the benchmark
     # parquet at decontam_benchmark_path (one 'text' column) quarantine

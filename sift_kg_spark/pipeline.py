@@ -90,6 +90,15 @@ def prepare_docs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     html get the same pandas-UDF walk the oracle uses).
     """
     text = F.coalesce(F.col("text"), extract_text_udf(F.col("html")))
+    if cfg.redact_pii:
+        # PII scrub tier (functions/pii): emails/phones/IPs rewrite to
+        # typed placeholders BEFORE normalization/hashing, so two pages
+        # differing only in an embedded identifier hash identically and
+        # no raw identifier survives into any committed stage. Pure JVM
+        # regexp projection; off by default (byte-identity contract).
+        from sift_kg_spark.functions.pii import redact_pii
+
+        text = redact_pii(text)
     return (
         pages.withColumn("text", text)
         .withColumn("text_norm", normalize_text_udf(F.col("text")))

@@ -517,6 +517,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_redaction_stats"] = pii_redaction_stats
 
+    def top_bigrams(spark, sf):
+        from sift_kg_spark.operators.ngramstats import top_ngrams
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        return top_ngrams(d, n=2, k=50)
+
+    q["top_bigrams"] = top_bigrams
+
     # ---- n-gram Jaccard near-dup (J4 verify analog, integer-exact) -------
 
     def ngram_jaccard_pairs(spark, sf):
@@ -2082,6 +2090,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_a, doc_b, count(*) AS n_shared FROM pairs
         GROUP BY 1, 2 HAVING count(*) >= 3
+    """
+
+    o["top_bigrams"] = """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+            FROM toks,
+                 LATERAL UNNEST(range(1, CAST(len(t) AS BIGINT))) AS u(i)
+            WHERE len(t) >= 2
+        )
+        SELECT gram, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM grams GROUP BY gram
+        ORDER BY n_occurrences DESC, gram ASC
+        LIMIT 50
     """
 
     o["pii_redaction_stats"] = r"""

@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "top3_customers_per_nation",
     "sessionize_events",
     "cc_chain_components",
+    # round-5 training-data ops
+    "decontaminate_benchmark",
+    "pii_redaction_stats",
+    "token_budget_mix",
+    "simhash_near_dups",
 ]
 
 

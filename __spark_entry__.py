@@ -525,6 +525,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_bigrams"] = top_bigrams
 
+    def pack_training_shards(spark, sf):
+        from sift_kg_spark.operators.packing import assign_shards
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        shards = assign_shards(d, shard_tokens=2000)
+        return shards.groupBy("shard_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+
+    q["pack_training_shards"] = pack_training_shards
+
     # ---- n-gram Jaccard near-dup (J4 verify analog, integer-exact) -------
 
     def ngram_jaccard_pairs(spark, sf):
@@ -2090,6 +2107,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_a, doc_b, count(*) AS n_shared FROM pairs
         GROUP BY 1, 2 HAVING count(*) >= 3
+    """
+
+    o["pack_training_shards"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        )
+        SELECT CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM c GROUP BY 1
     """
 
     o["top_bigrams"] = """

@@ -32,9 +32,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table scan with a scan-parallelism floor (guide §2.5 input skew /
+    §6 split sizing): the driver testdata parquets are single-row-group
+    files, so their scans produce ONE task and every narrow chain built
+    on them (pandas-UDF featurizers, gram explodes, HOF dot products)
+    runs serially until the first exchange. When the scan yields fewer
+    splits than the cluster's parallelism, spread it once; at real scale
+    the scan already has more splits than cores and this is a no-op (the
+    same conditional prepare_stage applies to raw crawl dumps). Round-
+    robin repartition is deterministic (sort-before-repartition) and
+    every consumer below is partitioning-agnostic (total-order windows /
+    set aggregations), so results are unchanged."""
+    df = _t(spark, sf_dir, name)
+    floor = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < floor:
+        df = df.repartition(floor)
+    return df
+
+
 def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the driver's documents table onto the canonical pages schema."""
-    return _t(spark, sf_dir, "documents").select(
+    return _tp(spark, sf_dir, "documents").select(
         F.format_string("doc://%s/%06d", F.col("source"), F.col("doc_id")).alias(
             "url"
         ),
@@ -355,7 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sift_kg_spark.operators.linededup import line_dedup
 
         return line_dedup(
-            _t(spark, sf, "documents"),
+            _tp(spark, sf, "documents"),
             "doc_id",
             "text",
             chunk_tokens=4,
@@ -368,7 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sift_kg_spark.operators.linededup import repetition_stats
 
         return repetition_stats(
-            _t(spark, sf, "documents"), "doc_id", "text", chunk_tokens=4
+            _tp(spark, sf, "documents"), "doc_id", "text", chunk_tokens=4
         ).select("doc_id", "n_chunks", "dup_chunk_frac", "top_bigram_frac")
 
     q["doc_repetition_stats"] = doc_repetition_stats
@@ -382,7 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sift_kg_spark.operators.winnow import winnow_fingerprints
 
         fps = winnow_fingerprints(
-            _t(spark, sf, "documents"), "doc_id", "text", k=3, w=4
+            _tp(spark, sf, "documents"), "doc_id", "text", k=3, w=4
         )
         return fps.groupBy("doc_id").agg(
             F.count("*").alias("n_fps"),
@@ -398,7 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             winnow_fingerprints,
         )
 
-        d = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+        d = _tp(spark, sf, "documents").select("doc_id", "text", "n_chars")
         # planted near-dups (the %17 recipe): an 80%-token-prefix copy of
         # every eligible doc, so the pair detector has real rows to find
         # and the guarantee (shared run >= w+k-1 tokens) is exercised on
@@ -426,7 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def decontaminate_benchmark(spark, sf):
         from sift_kg_spark.operators.decontam import decontaminate
 
-        d = _t(spark, sf, "documents").select("doc_id", "text")
+        d = _tp(spark, sf, "documents").select("doc_id", "text")
         # planted benchmark (the %13 recipe): a 20-token mid-slice of
         # every eligible doc, so each slice's source doc is contaminated
         # by construction and short/clean docs are provably not.
@@ -520,7 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def top_bigrams(spark, sf):
         from sift_kg_spark.operators.ngramstats import top_ngrams
 
-        d = _t(spark, sf, "documents").select("doc_id", "text")
+        d = _tp(spark, sf, "documents").select("doc_id", "text")
         return top_ngrams(d, n=2, k=50)
 
     q["top_bigrams"] = top_bigrams
@@ -545,35 +564,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- n-gram Jaccard near-dup (J4 verify analog, integer-exact) -------
 
     def ngram_jaccard_pairs(spark, sf):
-        d = _t(spark, sf, "documents").select(
+        # r6 shape change (same result set, pinned by the unchanged
+        # oracle): the old self-join generated the gram table FOUR times
+        # (join sides a/b + two sizes subtrees) and broadcast the full
+        # multi-million-row gram side as a hash relation (stats from the
+        # tiny parquet footer made every side look broadcastable). Now
+        # the distinct gram ARRAY is computed once per doc and pinned
+        # (persist), sizes are a map-side F.size over it (0 shuffles),
+        # and co-occurring pairs come from ONE groupBy(block, gram) +
+        # an in-group pair explode — gram strings shuffle once instead
+        # of being broadcast-built, and pair multiplicity per (a, b) is
+        # identical (each shared distinct gram contributes exactly one
+        # pair row, exactly as the join did).
+        from pyspark import StorageLevel
+
+        # tokens materialized as a column BEFORE the gram transform: a
+        # split() captured inside the HOF lambda would re-tokenize the
+        # text per gram (the O(tokens^2) trap, PLANS.md §17).
+        base = _tp(spark, sf, "documents").select(
+            "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+        )
+        dg = base.select(
             "doc_id",
             F.md5(
-                F.expr("array_join(slice(split(trim(text), '\\\\s+'), 1, 2), ' ')")
+                F.expr("array_join(slice(toks, 1, 2), ' ')")
             ).alias("block"),
-            F.split(F.trim("text"), r"\s+").alias("toks"),
-        )
-        grams = d.select(
-            "doc_id",
-            "block",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
-                        " i -> array_join(slice(toks, i, 3), ' '))"
-                    )
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+                    " i -> array_join(slice(toks, i, 3), ' '))"
                 )
-            ).alias("gram"),
+            ).alias("gs"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sizes = dg.select("doc_id", F.size("gs").alias("n_grams"))
+        grams = dg.select("doc_id", "block", F.explode("gs").alias("gram"))
+        shared = (
+            grams.groupBy("block", "gram")
+            .agg(F.collect_list("doc_id").alias("ds"))
+            .filter(F.size("ds") > 1)
         )
-        sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-        a = grams.select(
-            F.col("doc_id").alias("doc_a"), "block", "gram"
-        )
-        b = grams.select(F.col("doc_id").alias("doc_b"), "block", "gram")
-        inter = (
-            a.join(b, ["block", "gram"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("n_inter"))
+        pairs = shared.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                    " y -> struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))"
+                )
+            ).alias("p")
+        ).select("p.doc_a", "p.doc_b")
+        inter = pairs.groupBy("doc_a", "doc_b").agg(
+            F.count("*").alias("n_inter")
         )
         return (
             inter.join(
@@ -592,27 +632,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- similarity search over embeddings --------------------------------
 
     def embedding_cosine_topk(spark, sf):
-        e = _t(spark, sf, "embeddings")
+        e = _tp(spark, sf, "embeddings")
         dot = F.expr(
             "aggregate(zip_with(q_emb, n_emb, (x, y) -> x * y),"
             " cast(0.0 as double), (acc, v) -> acc + v)"
         )
-        norm_q = F.expr(
-            "sqrt(aggregate(q_emb, cast(0.0 as double), (acc, v) -> acc + v * v))"
-        )
-        norm_n = F.expr(
-            "sqrt(aggregate(n_emb, cast(0.0 as double), (acc, v) -> acc + v * v))"
+        # norms hoisted BELOW the cross join (computed once per vector,
+        # not once per (query, neighbor) pair — the old plan re-derived
+        # norm_n for every one of the 10 query copies of each row).
+        # Same doubles, same cosine expression tree: dot / (nq * nn).
+        norm = F.expr(
+            "sqrt(aggregate(embedding, cast(0.0 as double),"
+            " (acc, v) -> acc + v * v))"
         )
         queries_df = e.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            norm.alias("norm_q"),
         )
         neigh = e.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            norm.alias("norm_n"),
         )
         scored = (
             queries_df.crossJoin(neigh)
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("cosine", dot / (norm_q * norm_n))
+            .withColumn("cosine", dot / (F.col("norm_q") * F.col("norm_n")))
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cosine"), F.asc("neighbor_id")
@@ -626,7 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_cosine_topk"] = embedding_cosine_topk
 
     def embedding_near_dup_pairs(spark, sf):
-        e = _t(spark, sf, "embeddings")
+        e = _tp(spark, sf, "embeddings")
         a = e.select(
             F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
         )
@@ -655,7 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # representative per semantic cluster. At sf0.01 the pair stage
         # is the exact label-blocked cosine join (the oracle); at scale
         # the same prune runs over IVF-cell-scoped pairs (operators/ann).
-        e = _t(spark, sf, "embeddings")
+        e = _tp(spark, sf, "embeddings")
         node = F.lpad(F.col("vec_id").cast("string"), 8, "0")
         pairs = embedding_near_dup_pairs(spark, sf).select(
             F.lpad(F.col("vec_a").cast("string"), 8, "0").alias("url_a"),
@@ -1030,7 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # seeded ANN satisfies for every query at this data.
         from sift_kg_spark.operators.ann import ann_lsh_topk
 
-        e = _t(spark, sf, "embeddings")
+        e = _tp(spark, sf, "embeddings")
         # narrow 4-bit bands: the driver embeddings are near-uniform (low
         # top-5 cosines), so recall needs many high-collision bands; at
         # corpus scale the wide-band default + bucket cap applies instead.
@@ -1072,7 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ~0.4% (tests/test_operators blob test).
         from sift_kg_spark.operators.ann import ann_ivf_topk
 
-        e = _t(spark, sf, "embeddings")
+        e = _tp(spark, sf, "embeddings")
         ann = ann_ivf_topk(
             e, "vec_id", "embedding", dim=64, k=5,
             n_centroids=32, n_probe=24,
@@ -1115,7 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         cfg = DedupConfig(min_text_chars=10)
         base = _docs_as_pages(spark, sf)
-        d = _t(spark, sf, "documents")
+        d = _tp(spark, sf, "documents")
         url_of = F.format_string(
             "doc://%s/%06d", F.col("source"), F.col("doc_id")
         )
@@ -1180,7 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # planted-copy projection here keeps the driver oracle exact.)
         from sift_kg_spark.operators.simhash import simhash_near_dup_pairs
 
-        d = _t(spark, sf, "documents")
+        d = _tp(spark, sf, "documents")
         url_of = F.format_string(
             "doc://%s/%06d", F.col("source"), F.col("doc_id")
         )
@@ -1689,7 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sift_kg_spark.functions.multimodal import extract_features
         from sift_kg_spark.operators.ann import ann_lsh_topk
 
-        d = _t(spark, sf, "documents")
+        d = _tp(spark, sf, "documents")
         planted = d.filter(F.col("doc_id") % 20 == 0)
         orig = d.select(
             F.format_string("o%06d", F.col("doc_id")).alias("url"),

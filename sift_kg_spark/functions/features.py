@@ -34,6 +34,19 @@ FEATURE_SCHEMA = (
     "simchunks array<bigint>, keys array<bigint>"
 )
 
+# What the Spark-side UDF actually ships across the Arrow boundary:
+# every Spark consumer (pipeline, incremental, entry queries) projects
+# exactly f.n_tokens / f.shingles / f.simhash / f.keys — minhash, bands
+# and simchunks exist only as intermediates inside the kernel (bands
+# derive the packed keys; simchunks fold into keys). Transferring them
+# anyway cost ~60% of the output bytes (the 128-lane minhash alone is
+# 1 KB/doc) plus the per-doc list materialization. The full layout stays
+# available via ``compute_features_pdf(slim=False)`` for the oracle and
+# kernel tests.
+SLIM_FEATURE_SCHEMA = (
+    "n_tokens int, shingles array<int>, simhash bigint, keys array<bigint>"
+)
+
 # Persisted-feature format version, recorded in every stage-snapshot
 # context. Bump whenever the on-disk feature encoding changes semantics
 # (e.g. the int64 -> int32 shingle truncation): an incremental run must
@@ -59,8 +72,14 @@ N_ANCHORS = 8
 _ANCHOR_SEED = np.uint64(0xA5C0_11EC_7ED0_0001)
 
 
-def compute_features_pdf(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
-    """Pure batch implementation — shared by the Spark UDF and the oracle."""
+def compute_features_pdf(
+    texts: pd.Series, cfg: DedupConfig, slim: bool = False
+) -> pd.DataFrame:
+    """Pure batch implementation — shared by the Spark UDF and the oracle.
+
+    ``slim=True`` (the Spark UDF path) returns only the columns any
+    Spark consumer reads (SLIM_FEATURE_SCHEMA); computation is identical
+    — the dropped columns are intermediates either way."""
     seeds = H.perm_seeds(cfg.num_perm, cfg.seed)
     token_hashes, offsets = H.tokenize_batch(texts)
     sets = H.shingle_sets(token_hashes, offsets, cfg.shingle_k)
@@ -100,6 +119,15 @@ def compute_features_pdf(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
         anchor_keys = _pack(H.mix64(anchors ^ _ANCHOR_SEED), CHANNEL_ANCHOR)
         keys.append(np.concatenate([band_keys[i], chunk_keys[i], anchor_keys]))
 
+    if slim:
+        return pd.DataFrame(
+            {
+                "n_tokens": n_tokens,
+                "shingles": stored_shingles,
+                "simhash": sim.view(np.int64),
+                "keys": keys,
+            }
+        )
     return pd.DataFrame(
         {
             "n_tokens": n_tokens,
@@ -117,10 +145,13 @@ def compute_features_pdf(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
 
 
 def make_features_udf(cfg: DedupConfig):
-    """Build the pandas UDF with the config baked into the closure."""
+    """Build the pandas UDF with the config baked into the closure.
 
-    @F.pandas_udf(FEATURE_SCHEMA)
+    The UDF ships the SLIM layout (see SLIM_FEATURE_SCHEMA): same
+    kernel, smaller Arrow transfer."""
+
+    @F.pandas_udf(SLIM_FEATURE_SCHEMA)
     def features_udf(text: pd.Series) -> pd.DataFrame:
-        return compute_features_pdf(text, cfg)
+        return compute_features_pdf(text, cfg, slim=True)
 
     return features_udf

@@ -134,6 +134,13 @@ def normalize_text_py(text: str | None) -> str | None:
     """
     if text is None:
         return None
+    if text.isascii():
+        # Fast path — bit-identical by construction: NFKD is the
+        # identity on ASCII, no ASCII codepoint is category Mn, and
+        # casefold() equals lower() on ASCII. Skips the full-plane
+        # translate() walk for the overwhelmingly common case (one
+        # C-level isascii() scan instead).
+        return " ".join(text.lower().split())
     folded = unicodedata.normalize("NFKD", text).translate(_mn_table())
     return " ".join(folded.casefold().split())
 

@@ -34,7 +34,7 @@ Scale shape (10^12 docs):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -85,6 +85,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 6,
     n_chunks: int = 4,
     hot_cap: int = 64,
+    salted_sizing: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, hamming) — document pairs at Hamming distance
     <= ``max_hamming``, ``id_a < id_b``.
@@ -95,7 +96,17 @@ def simhash_near_dup_pairs(
     larger distances raise ``n_chunks``). One key exchange, one pairing
     join, hot buckets star-paired — the same 100-TB shape as the LSH
     candidate exchange.
+
+    Sizing goes through ``lsh.sized_buckets`` (was an inline un-salted
+    window): the sized table is pinned once and read by both pairing
+    sides instead of re-running the fingerprint UDF chain per side, and
+    ``salted_sizing=True`` swaps in the two-level pre-salted count for
+    corpora where one template fingerprint owns a mega-bucket (the
+    Manku near-constant-page case) — bit-identical output either way,
+    same hatch winnow/lsh already expose.
     """
+    from sift_kg_spark.operators.lsh import sized_buckets
+
     if 64 % n_chunks != 0:
         raise ValueError("n_chunks must divide 64")
     fps = simhash_fingerprints(docs, id_col, text_col)
@@ -104,12 +115,9 @@ def simhash_near_dup_pairs(
         "simhash",
         F.explode(_chunk_pair_keys(F.col("simhash"), n_chunks)).alias("key"),
     )
-    w = Window.partitionBy("key")
-    sized = (
-        keys.withColumn("bucket_size", F.count("*").over(w))
-        .withColumn("rep", F.min("_id").over(w))
-        .filter(F.col("bucket_size") > 1)
-    )
+    sized = sized_buckets(
+        keys, ["key"], "_id", salted=salted_sizing
+    ).withColumnRenamed("bucket_rep", "rep")
     # single-join pairing (see lsh.candidate_pairs for the AQE rationale):
     # a-side = normal-bucket members + hot-bucket reps; rep is the bucket
     # min so star pairs always satisfy a < b.
@@ -119,8 +127,11 @@ def simhash_near_dup_pairs(
     b_side = sized.select(
         "key", F.col("_id").alias("id_b"), F.col("simhash").alias("_sb")
     )
+    # merge hint: same rationale as lsh.candidate_pairs — tiny size
+    # estimates otherwise broadcast-build one side, re-running the
+    # fingerprint UDF chain instead of reusing the key exchange.
     return (
-        a_side.join(b_side, "key")
+        a_side.join(b_side.hint("merge"), "key")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "hamming",

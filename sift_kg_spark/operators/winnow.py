@@ -166,8 +166,11 @@ def fingerprint_pairs(
         (F.col("n_docs") <= hot_cap) | (F.col(id_col) == F.col("rep"))
     ).select("fp", F.col(id_col).alias("doc_a"))
     b_side = sized.select("fp", F.col(id_col).alias("doc_b"))
+    # merge hint: same rationale as lsh.candidate_pairs — tiny size
+    # estimates otherwise broadcast-build one side, re-running the whole
+    # fingerprint chain instead of reusing the fp exchange.
     return (
-        a_side.join(b_side, "fp")
+        a_side.join(b_side.hint("merge"), "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))

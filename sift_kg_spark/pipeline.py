@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from dataclasses import asdict, dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sift_kg_spark.config import DEFAULT_CONFIG, DedupConfig
@@ -582,17 +582,28 @@ def run_dedup(
         )
         # A1 canonical rule (prededup.py:177-196): most frequent (ties for
         # pages) -> longest text -> lexicographically smallest url. Total
-        # order => deterministic under any partitioning.
-        w = Window.partitionBy("cluster_id").orderBy(
-            F.desc("n_chars"), F.asc("url")
+        # order => deterministic under any partitioning. Expressed as
+        # min(struct(-n_chars, url)) per cluster — identical pick to the
+        # old first_value-over-ordered-window, but the aggregation
+        # partially combines map-side and needs no per-cluster sort of
+        # the whole corpus (the window shape sorted every row by
+        # (cluster_id, -n_chars, url) in one pass); the join back rides
+        # the same cluster_id exchange or a runtime broadcast of the
+        # per-cluster table, whichever AQE finds cheaper.
+        canon = assigned.groupBy("cluster_id").agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("_neg_chars"), F.col("url")
+                )
+            ).alias("_best"),
+            F.count("*").alias("cluster_size"),
+        ).select(
+            "cluster_id",
+            F.col("_best.url").alias("canonical_url"),
+            "cluster_size",
         )
-        wsize = Window.partitionBy("cluster_id")
-        return (
-            assigned.withColumn(
-                "canonical_url", F.first("url").over(w)
-            )
-            .withColumn("cluster_size", F.count("*").over(wsize))
-            .select("url", "cluster_id", "canonical_url", "cluster_size")
+        return assigned.join(canon, "cluster_id").select(
+            "url", "cluster_id", "canonical_url", "cluster_size"
         )
 
     assignments = commit("assignments", build_assignments, ("dup_pairs", "prepared"))

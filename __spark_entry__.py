@@ -1182,11 +1182,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = base.unionByName(copies)
         docs = pages.withColumn("text_norm", normalize_text_udf("text"))
         udf = make_features_udf(cfg)
+        # Pin the feature table: candidate_pairs' pairing self-join
+        # re-executes its input subtree once per side (AQE same-round
+        # stage materialization does not deduplicate identical sibling
+        # exchanges), and here that subtree is the normalize + signature
+        # UDF chain over the whole corpus — run it once (the pipeline
+        # proper commits/persists its features stage for the same
+        # reason).
+        from pyspark import StorageLevel
+
         feats = docs.select(
             F.xxhash64("url").alias("doc_uid"),
             "lang",
             udf(F.col("text_norm")).alias("f"),
-        ).select("doc_uid", "lang", "f.*")
+        ).select("doc_uid", "lang", "f.*").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         cands = candidate_pairs(explode_keys(feats, cfg), cfg).select(
             "uid_a", "uid_b"
         )

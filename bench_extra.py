@@ -235,7 +235,7 @@ def cmd_queries(sf_dir: str, names: list[str], n_runs: int = 2) -> None:
     spark.stop()
 
 
-def cmd_plans(tag: str, sf_dir: str, names: list[str]) -> None:
+def cmd_plans(tag: str, sf_dir: str, names: list[str], execute: bool = False) -> None:
     sf = _sf_from_dir(sf_dir)
     spark = _spark(sf)
     import __spark_entry__ as entrymod
@@ -246,12 +246,17 @@ def cmd_plans(tag: str, sf_dir: str, names: list[str]) -> None:
     qs = entrymod.queries()
     for name in names or BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
+        if execute:
+            # run it so the dumped plan is the FINAL adaptive plan
+            # (AQE runtime join rewrites + ReusedExchange visible)
+            _noop(df)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
         path = os.path.join(outdir, f"{name}_{tag}.txt")
         with open(path, "w") as fh:
             fh.write(plan)
+        spark.catalog.clearCache()
         print(f"  wrote {path}", file=sys.stderr)
     spark.stop()
 
@@ -268,8 +273,11 @@ if __name__ == "__main__":
         cmd_queries(sfd, names)
     elif mode == "plans":
         tag = rest[0]
-        sfd = rest[1] if len(rest) > 1 and "/" in rest[1] else default_dir
-        names = [r for r in rest[1:] if "/" not in r]
-        cmd_plans(tag, sfd, names)
+        rest = rest[1:]
+        execute = "--exec" in rest
+        rest = [r for r in rest if r != "--exec"]
+        sfd = rest[0] if rest and "/" in rest[0] else default_dir
+        names = [r for r in rest if "/" not in r]
+        cmd_plans(tag, sfd, names, execute=execute)
     else:
         raise SystemExit(f"unknown mode {mode}")

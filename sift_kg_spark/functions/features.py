@@ -89,7 +89,6 @@ def compute_features_pdf(
     chunks = H.simhash_chunks(sim, cfg.simhash_chunks)
 
     n_tokens = np.diff(offsets).astype(np.int32)
-    sorted_shingles = [np.sort(s.view(np.int64)) for s in sets]
     # Stored shingle sets are truncated to the low 32 bits: the verify
     # stage uses them ONLY for equality (exact Jaccard), and 32 bits keep
     # the expected per-pair collision count at ~|A||B|/2^32 ≈ 1e-4 for
@@ -113,11 +112,51 @@ def compute_features_pdf(
 
     band_keys = _pack(bands.view(np.uint64), CHANNEL_MINHASH)
     chunk_keys = _pack(chunks.view(np.uint64), CHANNEL_SIMCHUNK)
-    keys = []
-    for i in range(len(sets)):
-        anchors = sorted_shingles[i][:N_ANCHORS].view(np.uint64)
-        anchor_keys = _pack(H.mix64(anchors ^ _ANCHOR_SEED), CHANNEL_ANCHOR)
-        keys.append(np.concatenate([band_keys[i], chunk_keys[i], anchor_keys]))
+
+    # Anchors, batched: each set is already sorted-unique uint64
+    # ascending, and the int64-sorted order the anchors were defined
+    # over (np.sort of the signed view) is exactly the rotation
+    # [values >= 2^63 block, values < 2^63 block] — so the per-doc
+    # np.sort is replaced by one searchsorted, and ALL docs' anchors go
+    # through a single mix64/_pack pass (the per-doc mix64 calls, each
+    # with errstate setup, dominated this loop's profile).
+    half = np.uint64(1 << 63)
+    anchor_parts = []
+    for s in sets:
+        idx = int(np.searchsorted(s, half))
+        n_hi = len(s) - idx
+        if n_hi >= N_ANCHORS:
+            anchor_parts.append(s[idx : idx + N_ANCHORS])
+        elif n_hi > 0:
+            anchor_parts.append(
+                np.concatenate([s[idx:], s[: min(idx, N_ANCHORS - n_hi)]])
+            )
+        else:
+            anchor_parts.append(s[:N_ANCHORS])
+    n_docs = len(sets)
+    anchor_lens = np.fromiter(
+        (len(a) for a in anchor_parts), dtype=np.int64, count=n_docs
+    )
+    flat_anchors = (
+        np.concatenate(anchor_parts)
+        if n_docs
+        else np.empty(0, dtype=np.uint64)
+    )
+    anchor_keys_flat = _pack(
+        H.mix64(flat_anchors ^ _ANCHOR_SEED), CHANNEL_ANCHOR
+    )
+    bounds = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(anchor_lens, out=bounds[1:])
+    keys = [
+        np.concatenate(
+            [
+                band_keys[i],
+                chunk_keys[i],
+                anchor_keys_flat[bounds[i] : bounds[i + 1]],
+            ]
+        )
+        for i in range(n_docs)
+    ]
 
     if slim:
         return pd.DataFrame(

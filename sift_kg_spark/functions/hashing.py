@@ -42,12 +42,25 @@ _M2 = np.uint64(0x94D049BB133111EB)
 def mix64(v: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — vectorized full-avalanche uint64 mix."""
     v = v.astype(np.uint64, copy=True)
-    with np.errstate(over="ignore"):
-        v ^= v >> np.uint64(30)
-        v *= _M1
-        v ^= v >> np.uint64(27)
-        v *= _M2
-        v ^= v >> np.uint64(31)
+    return _mix64_inplace(v, np.empty_like(v))
+
+
+def _mix64_inplace(v: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """splitmix64 over ``v`` IN PLACE with caller-provided scratch.
+
+    Same arithmetic as :func:`mix64` (uint64 array ops wrap silently —
+    no errstate needed; numpy only warns on SCALAR integer overflow).
+    The out= forms avoid the six temporary allocations per call that
+    dominated the minhash loop (128 permutation passes per batch each
+    allocated ~6 concat-sized temporaries)."""
+    np.right_shift(v, np.uint64(30), out=tmp)
+    v ^= tmp
+    v *= _M1
+    np.right_shift(v, np.uint64(27), out=tmp)
+    v ^= tmp
+    v *= _M2
+    np.right_shift(v, np.uint64(31), out=tmp)
+    v ^= tmp
     return v
 
 
@@ -153,9 +166,14 @@ def minhash_signatures(
     lens = np.array([len(sets[i]) for i in nonempty], dtype=np.int64)
     offs = np.zeros(len(nonempty), dtype=np.int64)
     np.cumsum(lens[:-1], out=offs[1:])
+    # two reusable buffers instead of fresh temporaries per permutation
+    v = np.empty_like(concat)
+    tmp = np.empty_like(concat)
+    rows = np.asarray(nonempty, dtype=np.int64)
     for p in range(num_perm):
-        v = mix64(concat ^ seeds[p])
-        sig[nonempty, p] = np.minimum.reduceat(v, offs)
+        np.bitwise_xor(concat, seeds[p], out=v)
+        _mix64_inplace(v, tmp)
+        sig[rows, p] = np.minimum.reduceat(v, offs)
     return sig
 
 

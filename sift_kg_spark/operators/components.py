@@ -151,10 +151,23 @@ def connected_components(
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     cc_parts = max(1, min(int(old_shuffle), n_edges // 200_000 + 1))
 
+    # Round 1 fused into initialization: with label == url, the first
+    # propagation round's neighborhood minimum is simply min(src) per
+    # dst — no join against a label table needed. Labels start one round
+    # ahead (least(url, min neighbor)); the fixpoint (and therefore the
+    # result) is unchanged, the loop below just converges one round
+    # earlier.
+    first_nbr = sym.groupBy(F.col("dst").alias("url")).agg(
+        F.min("src").alias("_nbr")
+    )
     labels = (
         sym.select(F.col("src").alias("url"))
         .distinct()
-        .withColumn("label", F.col("url"))
+        .join(first_nbr, "url", "left")
+        .select(
+            "url",
+            F.least(F.col("url"), F.coalesce("_nbr", "url")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
 

@@ -109,7 +109,16 @@ def simhash_near_dup_pairs(
 
     if 64 % n_chunks != 0:
         raise ValueError("n_chunks must divide 64")
-    fps = simhash_fingerprints(docs, id_col, text_col)
+    # Pin the fingerprint table (16 B/row): the pairing self-join's two
+    # sides each re-execute their subtree (AQE's same-round stage
+    # materialization does not deduplicate identical sibling exchanges —
+    # PLANS.md §11 seam), and without the pin that means running the
+    # simhash UDF pass twice. The narrowest possible proxy (guide §8).
+    from pyspark import StorageLevel
+
+    fps = simhash_fingerprints(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     keys = fps.select(
         F.col(id_col).alias("_id"),
         "simhash",

@@ -152,8 +152,16 @@ def fingerprint_pairs(
     partials, no single-task mega-bucket scan, one extra exchange);
     output is bit-identical either way.
     """
+    from pyspark import StorageLevel
+
     from sift_kg_spark.operators.lsh import sized_buckets
 
+    # Pin the input fingerprint set: the pairing self-join's two sides
+    # each re-execute their subtree (AQE same-round stage
+    # materialization does not deduplicate identical sibling exchanges),
+    # and for a raw caller that subtree is the whole winnowing pipeline
+    # (gram md5 + per-doc window + distinct) — compute it once.
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
     sized = sized_buckets(
         fps, ["fp"], id_col, salted=salted_sizing
     ).withColumnRenamed("bucket_size", "n_docs").withColumnRenamed(

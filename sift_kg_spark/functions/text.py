@@ -151,3 +151,32 @@ def normalize_text_udf(text: pd.Series) -> pd.Series:
     # construction (unicodedata calls are C-implemented; pandas object-
     # dtype str ops are per-element loops anyway, so .map costs the same).
     return text.map(normalize_text_py)
+
+
+# explicit StructType: a DDL string here would need an active
+# SparkContext at import time (module-level decorator)
+_EXTRACT_NORM_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("text_norm", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_EXTRACT_NORM_SCHEMA)
+def extract_normalize_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+    """Fused extraction + normalization (guide §4.1): one Python round
+    trip instead of two chained ArrowEvalPython passes, each of which
+    shipped the full corpus text across the JVM boundary. Semantics are
+    exactly ``coalesce(text, extract_text_py(html))`` followed by
+    ``normalize_text_py`` — the same function bodies the oracle runs —
+    and extraction is only invoked for rows whose ``text`` is NULL
+    (identical to coalesce, just without evaluating the UDF on rows
+    that discard it)."""
+    out_t: list[str | None] = []
+    out_n: list[str | None] = []
+    for h, t in zip(html, text):
+        tt = t if isinstance(t, str) else extract_text_py(h)
+        out_t.append(tt)
+        out_n.append(normalize_text_py(tt))
+    return pd.DataFrame({"text": out_t, "text_norm": out_n})

@@ -89,6 +89,29 @@ def prepare_docs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     (input contract: byte-identical extracted text per url — rows with
     html get the same pandas-UDF walk the oracle uses).
     """
+    if not cfg.redact_pii and not cfg.span_dedup:
+        # Fast path: one fused Python pass (extract where text is NULL +
+        # normalize) — the chained two-UDF shape shipped the whole
+        # corpus text across the JVM/Python boundary twice (guide §4.1).
+        # Not used when redact_pii (a JVM regexp projection must run
+        # BETWEEN extraction and normalization) or span_dedup (that
+        # branch reads only url/lang/text and relies on column pruning
+        # to drop the normalize cost — a fused struct UDF would compute
+        # text_norm it throws away).
+        from sift_kg_spark.functions.text import extract_normalize_udf
+
+        en = extract_normalize_udf(F.col("html"), F.col("text"))
+        return (
+            pages.select("url", "lang", en.alias("_en"))
+            .select(
+                "url",
+                "lang",
+                F.col("_en.text").alias("text"),
+                F.col("_en.text_norm").alias("text_norm"),
+            )
+            .withColumn("n_chars", F.length("text"))
+            .select("url", "lang", "text", "text_norm", "n_chars")
+        )
     text = F.coalesce(F.col("text"), extract_text_udf(F.col("html")))
     if cfg.redact_pii:
         # PII scrub tier (functions/pii): emails/phones/IPs rewrite to

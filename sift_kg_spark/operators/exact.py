@@ -64,13 +64,31 @@ def exact_representatives(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     forms only (prededup.py:121-127): downstream MinHash/LSH work never sees
     exact duplicates twice, which also removes exact-dup-driven skew from
     the band exchange.
+
+    Shape (guide §2.3 — shuffle keys, not payloads): the old
+    ``groupBy(sha).agg(min_by(struct(ALL columns)))`` shuffled every
+    row's full text_norm through the exchange just to pick min-url rows.
+    Almost every sha is unique (its row IS the representative), so only
+    the DUPLICATED groups need deciding: aggregate the narrow
+    (sha, lang, url) projection into a per-dup-group min-url table —
+    small by construction — and join it back; a row survives when its
+    sha has no duplicate at all or it is the group's min-url row.
+    Identical rows out (total order, deterministic); the corpus text
+    never exchanges, and AQE broadcasts the dup-group table when it is
+    small (falling back to a shuffle join for pathological corpora that
+    are mostly exact duplicates).
     """
     group_cols = ["sha", "lang"] if cfg.partition_by_lang else ["sha"]
-    # min_by aggregation, not a window: partial (map-side) aggregation
-    # applies, and no per-group sort is needed — the representative is the
-    # min-url row (total order, deterministic).
-    return (
+    dup_groups = (
         docs.groupBy(*group_cols)
-        .agg(F.min_by(F.struct(*docs.columns), F.col("url")).alias("_rep"))
-        .select("_rep.*")
+        .agg(F.min("url").alias("_rep_url"), F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select(*group_cols, "_rep_url")
+    )
+    return (
+        docs.join(dup_groups, on=group_cols, how="left")
+        .filter(
+            F.col("_rep_url").isNull() | (F.col("url") == F.col("_rep_url"))
+        )
+        .select(*docs.columns)
     )

@@ -266,8 +266,12 @@ def candidate_pairs_incremental(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.col("doc_uid").alias("uid_y"),
         F.col("is_new").alias("_new_y"),
     )
+    # merge hint: same estimate pathology as candidate_pairs — without
+    # it the planner can broadcast-BUILD the right side from tiny
+    # plan-time estimates, re-running the sizing window (and, on the
+    # base side, the key-table scan) into a hash relation per side.
     all_pairs = (
-        left.join(right, on=key_cols, how="inner")
+        left.join(right.hint("merge"), on=key_cols, how="inner")
         .filter(
             (F.col("uid_x") < F.col("uid_y"))
             | (~F.col("_new_y") & (F.col("uid_x") != F.col("uid_y")))

@@ -119,10 +119,29 @@ def verify_pairs(
         F.col("simhash").alias("_sim_b"),
     )
 
+    # Jaccard in the JVM (guide §4.1 — prefer built-ins): both shingle
+    # sets are duplicate-free, so |A ∩ B| = size(array_intersect) and
+    # union = |A| + |B| - inter, with the same guards the UDF kernel
+    # applied (either side empty/null -> 0.0). Exactly the same double
+    # (integer-valued operands, one IEEE division) — and the pair table,
+    # which carries BOTH members' shingle arrays (~1.6 KB/pair), no
+    # longer round-trips through Arrow/Python at all just to be counted.
+    # The vectorized kernel (jaccard_udf) remains for the oracle parity
+    # tests.
+    la = F.coalesce(F.size("_sh_a"), F.lit(0))
+    lb = F.coalesce(F.size("_sh_b"), F.lit(0))
+    inter = F.coalesce(
+        F.size(F.array_intersect("_sh_a", "_sh_b")), F.lit(0)
+    )
+    union = la + lb - inter
+    jaccard_jvm = F.when(
+        (union > 0) & (la > 0) & (lb > 0),
+        inter.cast("double") / union.cast("double"),
+    ).otherwise(F.lit(0.0))
     scored = (
         pairs.join(a, "uid_a")
         .join(b, "uid_b")
-        .withColumn("jaccard", jaccard_udf("_sh_a", "_sh_b"))
+        .withColumn("jaccard", jaccard_jvm)
         .withColumn(
             "hamming",
             F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))).cast("int"),

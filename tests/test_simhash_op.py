@@ -114,3 +114,30 @@ class TestSimhashOperator:
         df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
         with pytest.raises(ValueError, match="divide 64"):
             simhash_near_dup_pairs(df, n_chunks=5)
+
+    def test_salted_sizing_bit_identical(self, spark):
+        """The r6 sizing rewrite routes the standalone operator through
+        ``lsh.sized_buckets``; the salted (two-level pre-salted count)
+        and window modes must emit bit-identical pairs, including across
+        the hot-cap star threshold (mixed corpus: a 12-member template
+        bucket past hot_cap=4, a genuine near-dup family, singletons)."""
+        text = " ".join(f"tok{i}" for i in range(60))
+        rows = corpus() + [(f"c{i:03d}", text) for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        cols = ["id_a", "id_b", "hamming"]
+        window = sorted(
+            tuple(r[c] for c in cols)
+            for r in simhash_near_dup_pairs(
+                df, max_hamming=6, hot_cap=4
+            ).collect()
+        )
+        salted = sorted(
+            tuple(r[c] for c in cols)
+            for r in simhash_near_dup_pairs(
+                df, max_hamming=6, hot_cap=4, salted_sizing=True
+            ).collect()
+        )
+        assert window == salted
+        # star pairs of the hot template bucket are present in both
+        star = [p for p in window if p[0] == "c000" and p[2] == 0]
+        assert len(star) >= 11

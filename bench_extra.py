@@ -69,7 +69,6 @@ def cmd_stages(sf_dir: str) -> None:
     )
     from sift_kg_spark.functions.features import make_features_udf
     from sift_kg_spark.operators.components import connected_components
-    from pyspark.sql import Window
 
     cfg = DedupConfig()
     pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
@@ -181,6 +180,8 @@ def cmd_stages(sf_dir: str) -> None:
     dup_pairs = stage("dup_pairs", build_pairs)
 
     def build_assignments():
+        # same shape as pipeline.run_dedup's build_assignments (agg-based
+        # canonical pick) so this stage times what the pipeline runs
         edges = dup_pairs.filter(F.col("status") == "confirmed").select(
             "url_a", "url_b"
         )
@@ -189,14 +190,20 @@ def cmd_stages(sf_dir: str) -> None:
         assigned = assigned.withColumn(
             "cluster_id", F.coalesce(F.col("cluster_id"), F.col("url"))
         )
-        w = Window.partitionBy("cluster_id").orderBy(
-            F.desc("n_chars"), F.asc("url")
+        canon = assigned.groupBy("cluster_id").agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("_neg_chars"), F.col("url")
+                )
+            ).alias("_best"),
+            F.count("*").alias("cluster_size"),
+        ).select(
+            "cluster_id",
+            F.col("_best.url").alias("canonical_url"),
+            "cluster_size",
         )
-        wsize = Window.partitionBy("cluster_id")
-        return (
-            assigned.withColumn("canonical_url", F.first("url").over(w))
-            .withColumn("cluster_size", F.count("*").over(wsize))
-            .select("url", "cluster_id", "canonical_url", "cluster_size")
+        return assigned.join(canon, "cluster_id").select(
+            "url", "cluster_id", "canonical_url", "cluster_size"
         )
 
     assignments = stage("assignments", build_assignments)
